@@ -44,7 +44,7 @@ def test_sdf_gradient_matches_finite_differences():
         np.linalg.norm(g, axis=1) * np.linalg.norm(fd, axis=1) + 1e-12)
     assert (cos > 0.99).all()
     np.testing.assert_allclose(
-        np.linalg.norm(g, axis=1), np.linalg.norm(fd, axis=1), rtol=0.1)
+        np.linalg.norm(g, axis=1), np.linalg.norm(fd, axis=1), rtol=0.15)
 
 
 def test_sdf_gradient_near_unit_norm_at_init():
