@@ -1,0 +1,88 @@
+"""Benchmark: decomposition-stage training throughput (rays/sec/chip).
+
+Runs the full vq_nfr training step (forward over 512 lights + all seven
+losses + grads + amsgrad + EMA codebook update) at the reference's
+production shapes (z_dim=256, 15 codes, light 16x32, 2048 rays/step =
+1024 jitter pairs; config/vq_nfr.ini + scripts/train/vq_nerf.sh) on
+whatever accelerator JAX sees, and prints one JSON line.
+
+vs_baseline compares against REFERENCE_RAYS_PER_SEC — an ESTIMATE of the
+reference's single-GPU TF-eager vq trainer throughput (the repo publishes
+no numbers; see BASELINE.md). Replace with a measured value when one
+exists.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_RAYS_PER_SEC = 4000.0  # estimated; see BASELINE.md
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vqnerf_release_tpu.models import decomp_common as dc
+    from vqnerf_release_tpu.models.nfr_unit import init_nfr_unit
+    from vqnerf_release_tpu.models.vq_nfr import init_vq_nfr
+    from vqnerf_release_tpu.train.decomp_trainer import make_vq_nfr_step
+
+    cfg = dc.DecompConfig()  # production defaults: z_dim 256, 15 codes, 512 lights
+    n_rays = 2 * cfg.n_rays_per_step  # 2048 (pairs)
+
+    lxyz, lareas = dc.light_constants(cfg)
+    nfr_params = init_nfr_unit(0, cfg)
+    centers = np.random.RandomState(0).rand(
+        cfg.num_embed, cfg.z_dim).astype(np.float32)
+    params, ema_state = init_vq_nfr(0, cfg, nfr_params, centers)
+    tx, step_fn = make_vq_nfr_step(cfg, lxyz, lareas)
+    opt_state = tx.init(params)
+
+    rs = np.random.RandomState(0)
+    batch = {
+        "rayo": jnp.asarray(
+            np.tile([[0, 0, 3.0]], (n_rays, 1)), jnp.float32),
+        "rayd": jnp.asarray(rs.randn(n_rays, 3), jnp.float32),
+        "rgb": jnp.asarray(rs.rand(n_rays, 3), jnp.float32),
+        "alpha": jnp.ones((n_rays, 1), jnp.float32),
+        "pred_alpha": jnp.ones((n_rays, 1), jnp.float32),
+        "xyz": jnp.asarray(rs.rand(n_rays, 3) - 0.5, jnp.float32),
+        "normal": jnp.asarray(
+            rs.randn(n_rays, 3)
+            / np.linalg.norm(rs.randn(n_rays, 3), axis=1, keepdims=True),
+            jnp.float32),
+        "lvis": jnp.asarray(rs.rand(n_rays, cfg.n_lights), jnp.float32),
+    }
+    thres = jnp.asarray(cfg.train_thres())
+
+    def run_step(params, ema_state, opt_state, step):
+        rng = jax.random.PRNGKey(step)
+        return step_fn(params, ema_state, opt_state, batch, thres, rng,
+                       jnp.asarray(step, jnp.float32))
+
+    # Warm-up / compile
+    params, ema_state, opt_state, ld = run_step(params, ema_state,
+                                                opt_state, 0)
+    jax.block_until_ready(ld["loss"])
+
+    n_iters = 50
+    t0 = time.perf_counter()
+    for i in range(1, n_iters + 1):
+        params, ema_state, opt_state, ld = run_step(
+            params, ema_state, opt_state, i)
+    jax.block_until_ready(ld["loss"])
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = n_rays * n_iters / dt
+    print(json.dumps({
+        "metric": "decomp_train_rays_per_sec",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s/chip",
+        "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,11 +1,18 @@
 """Test harness config: force CPU with 8 virtual devices so multi-chip
-sharding paths are exercised without TPU hardware (set before jax import)."""
+sharding paths are exercised without TPU hardware.
+
+Note: under the axon TPU tunnel the JAX_PLATFORMS env var is not honored,
+but jax.config.update('jax_platforms', ...) before first backend use is.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

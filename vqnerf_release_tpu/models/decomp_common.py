@@ -1,0 +1,199 @@
+"""Shared infrastructure for the decomposition-model family
+(nfr_unit -> vq_nfr -> ref_nfr).
+
+Parity targets:
+  * decomp/nerfvq_nfr3/nerfactor/models/shape.py:71-119 (embedders,
+    light/view directions)
+  * nerfactor/models/nfr_unit.py:106-129, 308-391 (network shapes, light /
+    gamma properties, head decoders, normal correction)
+  * nerfactor/models/vq_nfr.py:135-164, 761-833 (VQ heads, codebook property)
+
+TPU-native design notes:
+  * Models are (init_params, forward) function pairs over pytree params —
+    no classes, no chunk_apply: the full ray batch flows through in one
+    XLA program (the reference chunks at 65k-100k rays purely to fit GPU
+    memory; on TPU remat + batching handles that).
+  * Background rays are handled with a [N] foreground mask instead of
+    boolean_mask, keeping shapes static under jit/pjit.
+"""
+
+from dataclasses import dataclass, field
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import nn
+from ..ops.embed import posenc, posenc_dim
+from ..ops.light import gen_light_xyz
+from ..ops.math import clip_preserve_gradient, safe_l2_normalize
+
+__all__ = [
+    "DecompConfig", "light_constants",
+    "init_encoder", "init_head", "apply_encoder", "apply_head",
+    "calc_ldir", "calc_vdir", "normal_correct",
+    "get_light", "get_gamma", "get_codebook",
+]
+
+
+@dataclass(frozen=True)
+class DecompConfig:
+    """Typed replacement for the INI soup (config/*.ini + scripts/train)."""
+    data_type: str = "nerf"  # 'nerf' | 'dtu' | 'hw'
+    light_h: int = 16
+    imh: int = 512
+    white_bg: bool = True
+    # networks (nfr_unit.ini: mlp_width/conv_width/n_freqs_xyz)
+    mlp_width: int = 128
+    z_dim: int = 256  # conv_width
+    n_freqs_xyz: int = 10
+    albedo_slope: float = 1.0
+    albedo_bias: float = 0.0
+    light_init_val: float = 0.5
+    # vq (vq_nfr.ini + scripts/train/vq_nerf.sh)
+    num_embed: int = 15
+    num_drop: int = 12
+    commitment_cost: float = 0.1
+    vq_decay: float = 0.999
+    # loss weights (vq_nfr.ini)
+    combine_weight: float = 0.2
+    vq_loss_weight: float = 1.0
+    chromaticity_loss_weight: float = 1.0
+    mat_sloss_weight: float = 0.05
+    sim_loss_weight: float = 1e-4
+    lambert_weight: float = 1e-3
+    chr_alpha: float = 60.0
+    chr_thres: float = 0.1
+    # optimization
+    lr: float = 5e-4
+    lr_decay_steps: int = 500_000
+    lr_decay_rate: float = 0.1
+    n_rays_per_step: int = 1024
+    epochs: int = 150
+    thres_str: str = "0.1;0.15;0.2;0.25;0.3;0.35;0.4;0.45;0.5;0.55;0.6;0.65"
+    total_sample_vq: int = 200_000
+    best_thres: float = 0.002
+    random_seed: int = 2
+    xyz_jitter_std: float = 0.01  # ref_nfr only
+
+    @property
+    def light_res(self) -> Tuple[int, int]:
+        return (self.light_h, 2 * self.light_h)
+
+    @property
+    def is_nerf(self) -> bool:
+        return self.data_type == "nerf"
+
+    @property
+    def n_lights(self) -> int:
+        return self.light_h * 2 * self.light_h
+
+    def train_thres(self):
+        """Per-code dropout thresholds used in training
+        (train_nfr.py:67-76)."""
+        makeups = [0.0] * (self.num_embed - self.num_drop)
+        if self.thres_str != "-":
+            out = np.array(
+                makeups + [float(x) for x in self.thres_str.split(";")],
+                np.float32)
+        else:
+            out = np.array(makeups, np.float32)
+        assert out.shape[0] == self.num_embed, (
+            "thres_str must supply num_drop thresholds "
+            f"(got {out.shape[0]} != num_embed {self.num_embed})")
+        return out
+
+    def val_thres_list(self):
+        """Deterministic keep-first-k masks, fewest-codes-first reversed to
+        all-codes-last (train_nfr.py:77-79)."""
+        lst = [
+            np.array([0.0] * (self.num_embed - i) + [1.0] * i, np.float32)
+            for i in range(self.num_drop + 1)
+        ]
+        lst.reverse()
+        return lst
+
+
+def light_constants(cfg: DecompConfig):
+    """(lxyz [L,3], lareas [L]) as jnp constants."""
+    lxyz, lareas = gen_light_xyz(*cfg.light_res)
+    return (jnp.asarray(lxyz.reshape(-1, 3), jnp.float32),
+            jnp.asarray(lareas.reshape(-1), jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# Networks. Architecture constants (nfr_unit.py:110-129):
+#   fine_enc:   [mlp_width]*4, relu, skip@2, input = posenc(xyz, 10) = 63
+#   bottleneck: [mlp_width, z_dim, z_dim], [None, relu, sigmoid]
+#   heads:      [z_dim, z_dim//2, out], [relu, relu, sigmoid], skip@1
+
+ENC_ACTS = ["relu"] * 4
+ENC_SKIP = (2,)
+BOTTLENECK_ACTS = [None, "relu", "sigmoid"]
+HEAD_ACTS = ["relu", "relu", "sigmoid"]
+HEAD_SKIP = (1,)
+
+
+def init_encoder(key, cfg: DecompConfig):
+    d_embed = posenc_dim(3, cfg.n_freqs_xyz)
+    k1, k2 = jax.random.split(key)
+    return {
+        "fine_enc": nn.mlp_init(
+            k1, d_embed, [cfg.mlp_width] * 4, skip_at=ENC_SKIP),
+        "bottleneck": nn.mlp_init(
+            k2, cfg.mlp_width, [cfg.mlp_width, cfg.z_dim, cfg.z_dim]),
+    }
+
+
+def apply_encoder(enc_params, xyz, cfg: DecompConfig):
+    """posenc -> fine_enc -> bottleneck => z in [0,1]^z_dim
+    (nfr_unit.py:329-342 _pred_bias_at / vq_nfr.py:771-784 _pred_enc_at)."""
+    h = posenc(xyz, cfg.n_freqs_xyz)
+    h = nn.mlp_apply(enc_params["fine_enc"], h, ENC_ACTS, skip_at=ENC_SKIP)
+    return nn.mlp_apply(enc_params["bottleneck"], h, BOTTLENECK_ACTS)
+
+
+def init_head(key, d_in, d_out, width=None):
+    """Head decoder [width, width//2, d_out] w/ skip@1."""
+    width = width or d_in
+    return nn.mlp_init(key, d_in, [width, width // 2, d_out],
+                       skip_at=HEAD_SKIP)
+
+
+def apply_head(head_params, z):
+    return nn.mlp_apply(head_params, z, HEAD_ACTS, skip_at=HEAD_SKIP)
+
+
+def calc_ldir(lxyz, xyz):
+    """Unit surface->light directions [N, L, 3] (shape.py:103-110)."""
+    surf2l = lxyz[None, :, :] - xyz[:, None, :]
+    return safe_l2_normalize(surf2l, axis=2)
+
+
+def calc_vdir(rayo, xyz):
+    """Unit surface->camera directions [N, 3] (shape.py:112-119)."""
+    return safe_l2_normalize(rayo - xyz, axis=1)
+
+
+def normal_correct(normal, surf2c):
+    """Flip normals facing away from the camera (nfr_unit.py:384-387)."""
+    cos = jnp.sum(normal * surf2c, axis=-1, keepdims=True)
+    return jnp.where(cos >= 0, normal, -normal)
+
+
+def get_light(params):
+    """Non-negative light (clip-preserve-grad), nfr_unit.py:320-327."""
+    return clip_preserve_gradient(params["light"], 0.0, jnp.inf)
+
+
+def get_gamma(params):
+    """(bias, index) with index clipped to [0, 5] (nfr_unit.py:310-318)."""
+    return (params["gamma_bias"],
+            clip_preserve_gradient(params["gamma_index"], 0.0, 5.0))
+
+
+def get_codebook(params):
+    """clip[0,1] + column-L2-normalize (vq_nfr.py:761-769). [z_dim, K]."""
+    cb = clip_preserve_gradient(params["codebook"], 0.0, 1.0)
+    return safe_l2_normalize(cb, axis=0)

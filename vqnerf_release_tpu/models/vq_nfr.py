@@ -1,0 +1,391 @@
+"""vq_nfr: BRDF decomposition with an EMA vector-quantized material codebook.
+
+Parity target: decomp/nerfvq_nfr3/nerfactor/models/vq_nfr.py (the paper's
+core model). Reproduced behaviors:
+  * dual decode paths — continuous heads inherited from nfr_unit on z_enc,
+    fresh *_vq heads on the quantized z (vq_nfr.py:135-164, 586-614)
+  * codebook read = clip[0,1] + column L2-normalize; EMA update assigned to
+    the raw variable outside gradients (vq_nfr.py:580-583, 761-769)
+  * training losses: combine-weighted RGB + vq-RGB + commitment +
+    chromaticity + chroma-gated pair smoothness + codebook log-min-distance
+    + lambert prior (vq_nfr.py:876-986)
+  * fast_render with material edit / albedo scaling / probe+OLAT relighting
+    (vq_nfr.py:262-398), fast_embed segmentation (:209-256), vq_test
+    drop-loss eval (:467-532)
+
+TPU-native: params/EMA state are explicit pytrees; the per-probe Python loop
+of the reference becomes one batched einsum; masking replaces boolean_mask.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.colorspace import linear2srgb, srgb2linear
+from ..ops.math import rgb2chromaticity, safe_l2_normalize
+from ..ops.microfacet import microfacet_brdf
+from ..ops.render import render_equation
+from ..ops.vq import init_vq_ema_state, vq_ema_apply
+from . import decomp_common as dc
+
+__all__ = [
+    "init_vq_nfr", "vq_nfr_forward", "vq_nfr_loss",
+    "vq_fast_render", "vq_fast_embed", "vq_encode",
+]
+
+
+def init_vq_nfr(seed, cfg: dc.DecompConfig, nfr_params, cluster_centers):
+    """Build vq_nfr params from a trained nfr_unit and k-means centers.
+
+    nfr_params: nfr_unit param pytree (fine_enc/bottleneck/diff_out/...)
+      — reused as the *_main nets (vq_nfr.py:148-155). The converged light
+      is inherited from nfr_params['light'] (vq_nfr.py:747-759).
+    cluster_centers: [K, z_dim] from k-means over init latents.
+    """
+    key = jax.random.PRNGKey(seed)
+    k_d, k_s, k_r = jax.random.split(key, 3)
+    params = {
+        "fine_enc": nfr_params["fine_enc"],
+        "bottleneck": nfr_params["bottleneck"],
+        "diff_main": nfr_params["diff_out"],
+        "spec_main": nfr_params["spec_out"],
+        "rough_main": nfr_params["rough_out"],
+        "diff_vq": dc.init_head(k_d, cfg.z_dim, 3),
+        "spec_vq": dc.init_head(k_s, cfg.z_dim, 3),
+        "rough_vq": dc.init_head(k_r, cfg.z_dim, 1),
+        "light": nfr_params["light"],
+        "codebook": jnp.asarray(cluster_centers, jnp.float32).T,  # [D, K]
+    }
+    if not cfg.is_nerf:
+        params["gamma_bias"] = nfr_params.get(
+            "gamma_bias", jnp.ones((1,), jnp.float32))
+        params["gamma_index"] = nfr_params.get(
+            "gamma_index", jnp.ones((1,), jnp.float32))
+    ema_state = init_vq_ema_state(cfg.z_dim, cfg.num_embed)
+    return params, ema_state
+
+
+def _decode_main(params, z, cfg):
+    basecolor = cfg.albedo_slope * dc.apply_head(
+        params["diff_main"], z) + cfg.albedo_bias
+    ks = dc.apply_head(params["spec_main"], z)
+    rough = dc.apply_head(params["rough_main"], z)
+    return basecolor, ks, rough, ks * basecolor, (1.0 - ks) * basecolor
+
+
+def _decode_vq(params, z_vq, cfg):
+    vq_albedo = cfg.albedo_slope * dc.apply_head(
+        params["diff_vq"], z_vq) + cfg.albedo_bias
+    vq_spec = dc.apply_head(params["spec_vq"], z_vq)  # 3-channel
+    vq_rough = dc.apply_head(params["rough_vq"], z_vq)
+    return vq_albedo, vq_spec, vq_rough
+
+
+def _geom(batch, cfg, lxyz):
+    alpha = batch["alpha"]
+    mask = (alpha[:, 0] > 0).astype(jnp.float32)
+    xyz, normal, rayo = batch["xyz"], batch["normal"], batch["rayo"]
+    lvis = batch.get("lvis") if cfg.is_nerf else None
+    surf2c = dc.calc_vdir(rayo, xyz)
+    surf2l = dc.calc_ldir(lxyz, xyz)
+    normal_pred = dc.normal_correct(normal, surf2c)
+    return mask, xyz, surf2c, surf2l, normal_pred, lvis
+
+
+def vq_encode(params, xyz, cfg):
+    """xyz -> (z_enc, z_norm) (vq_nfr.py:567-575)."""
+    z_enc = dc.apply_encoder(params, xyz, cfg)
+    return z_enc, safe_l2_normalize(z_enc, axis=1)
+
+
+def vq_nfr_forward(params, ema_state, batch, cfg: dc.DecompConfig, lxyz,
+                   lareas, mode="train", thres=None, rng=None):
+    """Training/validation forward (vq_nfr.py:534-692).
+
+    Returns (pred, aux, new_ema_state). ``aux['codebook_update']`` holds the
+    EMA-updated raw codebook in training mode; the caller assigns it into
+    params AFTER the gradient step (mirroring the reference's .assign at
+    :580-583 which bypasses gradients).
+    """
+    mask, xyz, surf2c, surf2l, normal_pred, lvis = _geom(batch, cfg, lxyz)
+
+    z_enc, z_norm = vq_encode(params, xyz, cfg)
+    codebook = dc.get_codebook(params)
+    vq_outs, new_ema = vq_ema_apply(
+        codebook, z_norm, ema_state,
+        commitment_cost=cfg.commitment_cost, decay=cfg.vq_decay,
+        is_training=(mode == "train"), thres=thres, rng=rng, mask=mask)
+    z_vq = vq_outs["quantize"]
+    embed_ind = vq_outs["encoding_indices"] + 1  # 0 reserved for background
+
+    basecolor, ks, rough, spec, albedo = _decode_main(params, z_enc, cfg)
+    brdf, brdf_spec, brdf_diff = microfacet_brdf(
+        surf2l, surf2c, normal_pred, albedo=albedo, rough=rough, f0=spec)
+
+    light = dc.get_light(params)
+    gamma = None if cfg.is_nerf else dc.get_gamma(params)
+    rgb_pred = render_equation(
+        brdf, surf2l, normal_pred, lareas, light, light_vis=lvis, gamma=gamma)
+
+    vq_albedo, vq_spec, vq_rough = _decode_vq(params, z_vq, cfg)
+    vq_brdf, _, _ = microfacet_brdf(
+        surf2l, surf2c, normal_pred, albedo=vq_albedo, rough=vq_rough,
+        f0=vq_spec)
+    vq_rgb = render_equation(
+        vq_brdf, surf2l, normal_pred, lareas, light, light_vis=lvis,
+        gamma=gamma)
+
+    aux = {
+        "mask": mask,
+        "rgb_gt": batch["rgb"],
+        "rgb_pred_linear": rgb_pred,
+        "vq_rgb_linear": vq_rgb,
+        "vq_loss": vq_outs["loss"],
+        "z_vq": z_vq,
+        "spec": spec,
+        "rough": rough,
+        "perplexity": vq_outs["perplexity"],
+        "usage": (jnp.max(vq_outs["encodings"], axis=0) > 0).astype(
+            jnp.float32),
+    }
+    if mode == "train":
+        aux["codebook_update"] = vq_outs["update"]
+
+    m = mask[:, None]
+    pred = {
+        "rgb": (linear2srgb(rgb_pred) if cfg.is_nerf else rgb_pred) * m,
+        "normal": normal_pred * m,
+        "albedo": albedo * m,
+        "spec": spec * m,
+        "rough": rough * m,
+        "ks": ks * m,
+        "alpha": batch.get("pred_alpha", batch["alpha"]),
+        "embed": embed_ind.astype(jnp.int32) * mask.astype(jnp.int32),
+    }
+    if mode != "train":
+        rgb_d = render_equation(
+            brdf_diff, surf2l, normal_pred, lareas, light, light_vis=lvis,
+            gamma=gamma)
+        rgb_s = render_equation(
+            brdf_spec, surf2l, normal_pred, lareas, light, light_vis=lvis,
+            gamma=gamma)
+        pred["rgb_diff"] = (linear2srgb(rgb_d) if cfg.is_nerf else rgb_d) * m
+        pred["rgb_spec"] = (linear2srgb(rgb_s) if cfg.is_nerf else rgb_s) * m
+        pred["vq_rgb"] = (linear2srgb(vq_rgb) if cfg.is_nerf else vq_rgb) * m
+        pred["vq_albedo"] = vq_albedo * m
+        pred["vq_spec"] = vq_spec * m
+        pred["vq_rough"] = vq_rough * m
+    return pred, aux, new_ema
+
+
+def _masked_mean(per_ray, mask):
+    return jnp.sum(per_ray * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def vq_nfr_loss(params, aux, cfg: dc.DecompConfig, mode="train"):
+    """The seven-term training loss (vq_nfr.py:876-986)."""
+    mask = aux["mask"]
+    rgb_gt = aux["rgb_gt"]
+    rgb_pred = aux["rgb_pred_linear"]
+    vq_rgb = aux["vq_rgb_linear"]
+
+    if cfg.is_nerf:
+        linear_gt = srgb2linear(rgb_gt)
+        srgb_pred = linear2srgb(rgb_pred)
+    else:
+        linear_gt, srgb_pred = rgb_gt, rgb_pred
+
+    loss_dict = {}
+    if mode != "train":
+        # vali: sRGB-domain recon + vq recon + chromaticity (vq_nfr.py:905-920)
+        loss_dict["rgb"] = _masked_mean(
+            jnp.mean((rgb_gt - srgb_pred) ** 2, axis=-1), mask)
+        vq_srgb = linear2srgb(vq_rgb) if cfg.is_nerf else vq_rgb
+        loss_dict["vqrgb"] = _masked_mean(
+            jnp.mean((rgb_gt - vq_srgb) ** 2, axis=-1), mask)
+        chr_pd = rgb2chromaticity(vq_rgb)
+        lchr_gt = rgb2chromaticity(linear_gt)
+        loss_dict["chromaticity"] = _masked_mean(
+            jnp.mean((lchr_gt - chr_pd) ** 2, axis=-1), mask)
+        loss = (loss_dict["rgb"] + loss_dict["vqrgb"]
+                + loss_dict["chromaticity"])
+        loss_dict["loss"] = loss
+        return loss, loss_dict
+
+    loss_dict["rgb"] = cfg.combine_weight * _masked_mean(
+        jnp.mean((linear_gt - rgb_pred) ** 2, axis=-1), mask)
+    loss = loss_dict["rgb"]
+
+    loss_dict["vqrgb"] = _masked_mean(
+        jnp.mean((linear_gt - vq_rgb) ** 2, axis=-1), mask)
+    loss = loss + loss_dict["vqrgb"]
+
+    loss_dict["vqloss"] = cfg.vq_loss_weight * aux["vq_loss"]
+    loss = loss + loss_dict["vqloss"]
+
+    if cfg.chromaticity_loss_weight > 0:
+        chr_pd = rgb2chromaticity(vq_rgb)
+        lchr_gt = rgb2chromaticity(linear_gt)
+        loss_dict["chromaticity"] = (
+            cfg.chromaticity_loss_weight
+            * _masked_mean(jnp.mean((lchr_gt - chr_pd) ** 2, axis=-1), mask))
+        loss = loss + loss_dict["chromaticity"]
+
+    # Chroma-gated smoothness over jitter pairs [p, p_jit, p, p_jit, ...]
+    # (vq_nfr.py:941-956). GT chromaticity in the *raw* (sRGB for CG) domain.
+    if cfg.mat_sloss_weight > 0:
+        schr_gt = rgb2chromaticity(rgb_gt)
+        chr1, chr2 = schr_gt[::2], schr_gt[1::2]
+        chr_e = jnp.sqrt(jnp.sum(jnp.square(chr1 - chr2), axis=-1))
+        chr_e = jnp.where(chr_e > cfg.chr_thres, chr_e, 0.0)
+        w_chr = jnp.exp(-cfg.chr_alpha * chr_e)
+        z_vq = aux["z_vq"]
+        mat1, mat2 = z_vq[::2], z_vq[1::2]
+        pair_sl = w_chr * (1.0 - jnp.sum(mat1 * mat2, axis=-1))
+        pair_mask = mask[::2] * mask[1::2]
+        loss_dict["chr_smooth"] = cfg.mat_sloss_weight * _masked_mean(
+            pair_sl, pair_mask)
+        loss = loss + loss_dict["chr_smooth"]
+
+    # Codebook anti-collapse: -log(min pairwise distance) (vq_nfr.py:959-972)
+    if cfg.sim_loss_weight > 0:
+        codebook = dc.get_codebook(params).T  # [K, D]
+        diff = codebook[:, None, :] - codebook[None, :, :]
+        dist = jnp.sqrt(jnp.sum(jnp.square(diff), axis=-1) + 1e-12)
+        k = cfg.num_embed
+        eye = jnp.eye(k)
+        masked = dist * (1 - eye) + eye * jnp.max(dist)
+        loss_dict["sim_smooth"] = cfg.sim_loss_weight * (
+            -jnp.log(jnp.min(masked)))
+        loss = loss + loss_dict["sim_smooth"]
+
+    # Lambert prior: penalize high spec where (stop-grad) rough is high
+    # (vq_nfr.py:974-982)
+    if cfg.lambert_weight > 0:
+        sg_rough = jax.lax.stop_gradient(aux["rough"])
+        sg_rough = jnp.where(sg_rough < 0.5, 0.0, 2.0 * sg_rough - 1.0)
+        lambert = jnp.max(aux["spec"], axis=-1) * sg_rough[:, 0]
+        loss_dict["lambert"] = cfg.lambert_weight * _masked_mean(
+            lambert, mask)
+        loss = loss + loss_dict["lambert"]
+
+    loss_dict["loss"] = loss
+    return loss, loss_dict
+
+
+def vq_fast_render(params, batch, cfg: dc.DecompConfig, lxyz, lareas,
+                   novel_probes=None, novel_olat=None, opt_scale=None,
+                   edit_mask=None, edit_material=None, dst_env=None,
+                   gen_embed=False, thres=None, rng=None):
+    """Inference render (vq_nfr.py:262-398): continuous heads, optional
+    material edit, optional albedo scale, simultaneous probe/OLAT relight.
+
+    novel_probes/novel_olat: [E, L, 3] stacked envmaps (or None).
+    edit_material: dict diff/spec/rough of [3]/[3]/[1] arrays, negative
+    first channel = no-op (vq_nfr.py:324-330).
+    dst_env: optional [L, 3] replacement envmap for the primary render.
+    """
+    mask, xyz, surf2c, surf2l, normal_pred, lvis = _geom(batch, cfg, lxyz)
+    z_enc, z_norm = vq_encode(params, xyz, cfg)
+
+    embed_ind = None
+    if gen_embed:
+        from ..ops.vq import vq_lookup
+        look = vq_lookup(
+            dc.get_codebook(params), z_norm, thres=thres, rng=rng)
+        embed_ind = look["encoding_indices"] + 1
+
+    basecolor, ks, rough, spec, albedo = _decode_main(params, z_enc, cfg)
+
+    if edit_mask is not None:
+        em = (edit_mask[:, 0:1] > 0).astype(jnp.float32)
+
+        def upd(src, val):
+            val = jnp.asarray(val, jnp.float32)
+            return jnp.where(val[0] < 0, src, src * (1 - em) + em * val)
+
+        albedo = upd(albedo, edit_material["diff"])
+        spec = upd(spec, edit_material["spec"])
+        rough = upd(rough, edit_material["rough"])
+
+    if opt_scale is not None:
+        s_albedo, s_spec = albedo * opt_scale, spec * opt_scale
+    else:
+        s_albedo, s_spec = albedo, spec
+
+    brdf, _, _ = microfacet_brdf(
+        surf2l, surf2c, normal_pred, albedo=s_albedo, rough=rough, f0=s_spec)
+
+    light = dc.get_light(params) if dst_env is None else dst_env
+    gamma = None if cfg.is_nerf else dc.get_gamma(params)
+    rgb_pred = render_equation(
+        brdf, surf2l, normal_pred, lareas, light, light_vis=lvis, gamma=gamma)
+
+    m = mask[:, None]
+    pred = {
+        "alpha": batch.get("pred_alpha", batch["alpha"]),
+        "basecolor": basecolor * m,
+        "albedo": albedo * m,
+        "spec": spec * m,
+        "rough": rough * m,
+        "rgb": (linear2srgb(rgb_pred) if cfg.is_nerf else rgb_pred) * m,
+    }
+    if embed_ind is not None:
+        pred["embed"] = embed_ind.astype(jnp.int32) * mask.astype(jnp.int32)
+    if novel_probes is not None:
+        rgb_probes = render_equation(
+            brdf, surf2l, normal_pred, lareas, novel_probes, light_vis=lvis,
+            gamma=gamma, probe_batch=True)
+        pred["rgb_probes"] = (
+            linear2srgb(rgb_probes) if cfg.is_nerf else rgb_probes
+        ) * m[:, :, None]
+    if novel_olat is not None:
+        rgb_olat = render_equation(
+            brdf, surf2l, normal_pred, lareas, novel_olat, light_vis=lvis,
+            gamma=gamma, probe_batch=True)
+        pred["rgb_olat"] = (
+            linear2srgb(rgb_olat) if cfg.is_nerf else rgb_olat
+        ) * m[:, :, None]
+    return pred
+
+
+def vq_fast_embed(params, batch, cfg: dc.DecompConfig, thres=None, rng=None):
+    """Segmentation map: nearest (possibly pruned) code per fg ray
+    (vq_nfr.py:209-256). Background rows get id 0."""
+    from ..ops.vq import vq_lookup
+    alpha = batch["alpha"]
+    mask = (alpha[:, 0] > 0).astype(jnp.int32)
+    _, z_norm = vq_encode(params, batch["xyz"], cfg)
+    look = vq_lookup(dc.get_codebook(params), z_norm, thres=thres, rng=rng)
+    embed = (look["encoding_indices"].astype(jnp.int32) + 1) * mask
+    return {"embed": embed, "alpha": batch.get("pred_alpha", alpha)}
+
+
+def vq_test(params, batch, cfg: dc.DecompConfig, lxyz, lareas, thres=None,
+            rng=None):
+    """Drop-loss evaluation pass (vq_nfr.py:467-532): render through the
+    *vq heads* under a code-dropout threshold; the caller computes the
+    vali-mode loss on the result."""
+    mask, xyz, surf2c, surf2l, normal_pred, lvis = _geom(batch, cfg, lxyz)
+    _, z_norm = vq_encode(params, xyz, cfg)
+    codebook = dc.get_codebook(params)
+    outs, _ = vq_ema_apply(
+        codebook, z_norm, init_vq_ema_state(cfg.z_dim, cfg.num_embed),
+        commitment_cost=cfg.commitment_cost, is_training=False,
+        thres=thres, rng=rng, mask=mask)
+    z_vq = outs["quantize"]
+    vq_albedo, vq_spec, vq_rough = _decode_vq(params, z_vq, cfg)
+    vq_brdf, _, _ = microfacet_brdf(
+        surf2l, surf2c, normal_pred, albedo=vq_albedo, rough=vq_rough,
+        f0=vq_spec)
+    light = dc.get_light(params)
+    gamma = None if cfg.is_nerf else dc.get_gamma(params)
+    vq_rgb = render_equation(
+        vq_brdf, surf2l, normal_pred, lareas, light, light_vis=lvis,
+        gamma=gamma)
+    usage = (jnp.max(outs["encodings"], axis=0) > 0).astype(jnp.float32)
+    return {
+        "mask": mask,
+        "rgb_gt": batch["rgb"],
+        "vq_rgb_linear": vq_rgb,
+        "usage": usage,
+    }

@@ -1,0 +1,117 @@
+"""NeuS geometry training.
+
+Parity target: geo/NeuS-ours2/nerf_runner.py:99-195 (and dtu_runner.py):
+  * loss = L1(color, masked)/mask_sum + igr_weight * Eikonal
+         + mask_weight * BCE(weight_sum, mask)
+  * LR: linear warm-up then cosine decay to alpha fraction
+    (nerf_runner.py:186-195); dtu uses lr_end_iter for the cosine tail
+    (dtu_runner.py:192-194)
+  * cos_anneal_ratio = min(1, step / anneal_end) (:184)
+
+TPU-native: one jitted train step over a ray-sharded batch; Adam via optax
+with the LR injected per step (the reference mutates param_groups).
+"""
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.neus import NeuSConfig, neus_render
+
+__all__ = ["NeuSTrainConfig", "neus_lr_factor", "cos_anneal_ratio",
+           "init_neus_opt_state", "make_neus_train_step"]
+
+
+@dataclass(frozen=True)
+class NeuSTrainConfig:
+    learning_rate: float = 5e-4
+    learning_rate_alpha: float = 0.05
+    end_iter: int = 300_000
+    lr_end_iter: int = -1  # dtu: 300k while end_iter=100k
+    warm_up_end: int = 5_000
+    anneal_end: int = 0
+    batch_size: int = 2560
+    igr_weight: float = 0.1
+    mask_weight: float = 0.1
+    use_white_bkgd: bool = True
+    save_freq: int = 10_000
+    val_freq: int = 2_500
+
+
+def neus_lr_factor(step, tcfg: NeuSTrainConfig):
+    """Warm-up + cosine factor (nerf_runner.py:186-195). jnp-traceable."""
+    end = tcfg.lr_end_iter if tcfg.lr_end_iter > 0 else tcfg.end_iter
+    alpha = tcfg.learning_rate_alpha
+    progress = (step - tcfg.warm_up_end) / (end - tcfg.warm_up_end)
+    cos_factor = (jnp.cos(jnp.pi * progress) + 1.0) * 0.5 * (1 - alpha) + alpha
+    warm = step / tcfg.warm_up_end
+    return jnp.where(step < tcfg.warm_up_end, warm, cos_factor)
+
+
+def cos_anneal_ratio(step, tcfg: NeuSTrainConfig):
+    if tcfg.anneal_end == 0:
+        return jnp.asarray(1.0)
+    return jnp.minimum(1.0, step / tcfg.anneal_end)
+
+
+def init_neus_opt_state(params):
+    return optax.scale_by_adam().init(params)
+
+
+def make_neus_train_step(cfg: NeuSConfig, tcfg: NeuSTrainConfig, radius):
+    """Returns jittable fn(params, opt_state, batch, key, step) ->
+    (params, opt_state, metrics).
+
+    batch: rays_o/rays_d [R,3], rgb [R,3], mask [R,1], near/far [R,1],
+    valid [R,1] (1 for real rays, 0 for shard padding).
+    """
+    adam = optax.scale_by_adam()
+
+    def loss_fn(params, batch, key, anneal):
+        background_rgb = jnp.ones((1, 3)) if tcfg.use_white_bkgd else None
+        out = neus_render(
+            params, cfg, batch["rays_o"], batch["rays_d"], batch["near"],
+            batch["far"], radius, key=key, background_rgb=background_rgb,
+            cos_anneal_ratio=anneal)
+        valid = batch["valid"]
+        if tcfg.mask_weight > 0:
+            mask = (batch["mask"] > 0.5).astype(jnp.float32) * valid
+        else:
+            mask = jnp.ones_like(batch["mask"]) * valid
+        mask_sum = jnp.sum(mask) + 1e-5
+
+        color_err = (out["color_fine"] - batch["rgb"]) * mask
+        color_loss = jnp.sum(jnp.abs(color_err)) / mask_sum
+        mse = jnp.sum(color_err**2) / (mask_sum * 3.0)
+        psnr = 20.0 * jnp.log10(1.0 / jnp.sqrt(mse))
+
+        eikonal_loss = out["gradient_error"]
+
+        w = jnp.clip(out["weight_sum"], 1e-3, 1.0 - 1e-3)
+        bce = -(batch["mask"] * jnp.log(w)
+                + (1.0 - batch["mask"]) * jnp.log(1.0 - w))
+        mask_loss = jnp.sum(bce * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+        loss = (color_loss + eikonal_loss * tcfg.igr_weight
+                + mask_loss * tcfg.mask_weight)
+        metrics = {
+            "loss": loss, "color_loss": color_loss,
+            "eikonal_loss": eikonal_loss, "mask_loss": mask_loss,
+            "psnr": psnr, "s_val": jnp.mean(out["s_val"]),
+        }
+        return loss, metrics
+
+    def train_step(params, opt_state, batch, key, step):
+        anneal = cos_anneal_ratio(step, tcfg)
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch, key, anneal)
+        lr = tcfg.learning_rate * neus_lr_factor(step, tcfg)
+        updates, opt_state = adam.update(grads, opt_state, params)
+        updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+        params = optax.apply_updates(params, updates)
+        metrics["lr"] = lr
+        return params, opt_state, metrics
+
+    return train_step
