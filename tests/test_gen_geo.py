@@ -1,0 +1,164 @@
+"""End-to-end stage-1 -> stage-2 interface test: extract geometry buffers
+from an untrained (sphere-init) NeuS model and feed them into the
+decomposition dataset + model."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from vqnerf_release_tpu.data.neus_dataset import NerfSceneDataset
+from vqnerf_release_tpu.data.shape_dataset import ShapeDataset
+from vqnerf_release_tpu.models import decomp_common as dc
+from vqnerf_release_tpu.models.neus import NeuSConfig, init_neus
+from vqnerf_release_tpu.models.nfr_unit import init_nfr_unit, nfr_unit_forward
+from vqnerf_release_tpu.pipelines.gen_geo import (GeoExtractor,
+                                                  check_finished,
+                                                  intersect_sphere_far)
+
+H = W = 12
+LIGHT_H = 2
+
+
+def _lookat_c2w(eye):
+    eye = np.asarray(eye, np.float64)
+    fwd = -eye / np.linalg.norm(eye)  # camera -z looks at origin
+    up = np.array([0.0, 1.0, 0.0])
+    right = np.cross(fwd, up)
+    right /= np.linalg.norm(right)
+    true_up = np.cross(right, fwd)
+    c2w = np.eye(4)
+    c2w[:3, 0] = right
+    c2w[:3, 1] = true_up
+    c2w[:3, 2] = -fwd  # camera z points backward
+    c2w[:3, 3] = eye
+    return c2w
+
+
+def _make_stage1_scene(root, n_train=2, n_val=1):
+    import cv2
+    rs = np.random.RandomState(0)
+    for mode, n in (("train", n_train), ("val", n_val)):
+        frames = []
+        for i in range(n):
+            ang = 2 * np.pi * i / max(n, 1)
+            c2w = _lookat_c2w([2.0 * np.sin(ang), 0.3, 2.0 * np.cos(ang)])
+            frames.append({"transform_matrix": c2w.tolist()})
+            d = os.path.join(root, "%s_%03d" % (mode, i))
+            os.makedirs(d, exist_ok=True)
+            rgba = (rs.rand(H, W, 4) * 65535).astype(np.uint16)
+            rgba[..., 3] = 65535
+            cv2.imwrite(os.path.join(d, "rgba.png"),
+                        rgba[..., [2, 1, 0, 3]])
+        with open(os.path.join(
+                root, "transforms_%s.json" % mode), "w") as f:
+            json.dump({"camera_angle_x": 0.8, "frames": frames}, f)
+    return root
+
+
+def test_intersect_sphere_far():
+    import jax.numpy as jnp
+    x = jnp.asarray([[0.0, 0.0, 0.5]])
+    d = jnp.asarray([[0.0, 0.0, 1.0]])
+    far = intersect_sphere_far(x, d, 1.0)
+    np.testing.assert_allclose(np.asarray(far), [[0.5]], atol=1e-5)
+    # from center: far = r
+    far = intersect_sphere_far(
+        jnp.zeros((1, 3)), jnp.asarray([[1.0, 0, 0]]), 2.0)
+    np.testing.assert_allclose(np.asarray(far), [[2.0]], atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def extracted(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("scene"))
+    _make_stage1_scene(root)
+    ds = NerfSceneDataset(root, is_train=True, near=0.5, far=3.5)
+    cfg = NeuSConfig(n_samples=8, n_importance=8, up_sample_steps=2,
+                     perturb=0.0)
+    params = init_neus(0, cfg)
+    out_dir = os.path.join(root, "surf")
+    ex = GeoExtractor(params, cfg, ds, out_dir, use_white_bkgd=True,
+                      batch_size=64, light_h=LIGHT_H, vis_point_batch=16)
+    dirs = ex.extract_views(is_train=True)
+    return root, out_dir, dirs
+
+
+def test_extract_writes_all_buffers(extracted):
+    root, out_dir, dirs = extracted
+    assert len(dirs) == 2
+    for d in dirs:
+        assert check_finished(d, with_lvis=True), os.listdir(d)
+        xyz = np.load(os.path.join(d, "xyz.npy"))
+        normal = np.load(os.path.join(d, "normal.npy"))
+        lvis = np.load(os.path.join(d, "lvis.npy"))
+        assert xyz.shape == (H, W, 3)
+        assert normal.shape == (H, W, 3)
+        assert lvis.shape == (H, W, 2 * LIGHT_H * LIGHT_H)
+        assert np.isfinite(xyz).all()
+        assert (lvis >= 0).all() and (lvis <= 1).all()
+        # fg pixels (camera looks at the init sphere) exist & have some
+        # unocccluded lights
+        assert lvis.max() > 0.5
+
+
+def test_extract_resumable(extracted):
+    root, out_dir, dirs = extracted
+    # second run must skip everything (check_finished)
+    ds = NerfSceneDataset(root, is_train=True, near=0.5, far=3.5)
+    cfg = NeuSConfig(n_samples=8, n_importance=8, up_sample_steps=2,
+                     perturb=0.0)
+    params = init_neus(0, cfg)
+    ex = GeoExtractor(params, cfg, ds, out_dir, batch_size=64,
+                      light_h=LIGHT_H, vis_point_batch=16)
+    t_mtimes = {
+        d: os.path.getmtime(os.path.join(d, "lvis.npy")) for d in dirs}
+    dirs2 = ex.extract_views(is_train=True)
+    for d in dirs2:
+        assert os.path.getmtime(os.path.join(d, "lvis.npy")) == t_mtimes[d]
+
+
+def test_view_sharding(extracted):
+    root, out_dir, dirs = extracted
+    ds = NerfSceneDataset(root, is_train=True, near=0.5, far=3.5)
+    cfg = NeuSConfig(n_samples=8, n_importance=8, up_sample_steps=2,
+                     perturb=0.0)
+    params = init_neus(0, cfg)
+    ex = GeoExtractor(params, cfg, ds, out_dir, batch_size=64,
+                      light_h=LIGHT_H, vis_point_batch=16)
+    shard0 = ex.extract_views(is_train=True, num_p=2, p_i=0)
+    shard1 = ex.extract_views(is_train=True, num_p=2, p_i=1)
+    assert len(shard0) == 1 and len(shard1) == 1
+    assert shard0[0] != shard1[0]
+
+
+def test_buffers_feed_stage2(extracted):
+    root, out_dir, dirs = extracted
+    # stage-2 dataset wants metadata cam_transform_mat as a comma string
+    for mode in ("train",):
+        tj = json.load(open(os.path.join(root, "transforms_%s.json" % mode)))
+        for i, fr in enumerate(tj["frames"]):
+            vdir = os.path.join(root, "%s_%03d" % (mode, i))
+            c2w = np.asarray(fr["transform_matrix"])
+            meta = {
+                "imh": H, "imw": W, "cam_angle_x": tj["camera_angle_x"],
+                "cam_transform_mat": ",".join(
+                    str(x) for x in c2w.reshape(-1)),
+            }
+            with open(os.path.join(vdir, "metadata.json"), "w") as f:
+                json.dump(meta, f)
+
+    ds2 = ShapeDataset(root, out_dir, data_type="nerf", imh=H, mode="train")
+    assert len(ds2) == 2
+    view = ds2.load_view(ds2.files[0])
+    assert view.lvis.shape == (H * W, 2 * LIGHT_H * LIGHT_H)
+
+    cfg2 = dc.DecompConfig(light_h=LIGHT_H, z_dim=16, mlp_width=8,
+                           num_embed=4, num_drop=2, thres_str="0.1;0.2")
+    lxyz, lareas = dc.light_constants(cfg2)
+    params2 = init_nfr_unit(0, cfg2)
+    import jax.numpy as jnp
+    batch = {k: jnp.asarray(v) for k, v in view.as_batch().items()}
+    pred, aux = nfr_unit_forward(params2, batch, cfg2, lxyz, lareas,
+                                 mode="vali")
+    assert np.isfinite(np.asarray(pred["rgb"])).all()

@@ -1,0 +1,249 @@
+"""Geometry-buffer extraction: render every view's surface buffers and the
+512-direction light-visibility map from a trained NeuS model.
+
+Parity target: geo/NeuS-ours2/gen_geo.py:126-380 (and dtu_geo.py for real
+scenes, which skip lvis):
+  * per view writes rgb.png, xyz.npy/png, normal.npy/png, alpha.png
+    (+ lvis.npy/png for CG scenes) into
+    surf/<ds>_surf/<scene>/{train,val}_NNN/
+  * alpha = weight_sum > thres (0.5 train / cfg val), normals =
+    sum(weights * gradients * inside_sphere) normalized + camera-facing
+    correction, normal.npy blended onto a normalized-ones background
+  * visibility: per fg pixel, a ray is marched from the surface point
+    toward each of the 16x32 light directions; lvis = front_lit *
+    (1 - weight_sum); far from the bounding-sphere intersection, near =
+    min(0.1, far/2) (gen_geo.py:182-257)
+  * resumable: views whose 8 outputs exist are skipped
+    (check_finished, gen_geo.py:371-380); --num_p/--p_i view sharding
+
+TPU-native: the reference marches ONE light direction per chunk
+(lpix_chunk=1, i.e. 512 sequential tiny renders per pixel batch); here all
+L lights of a surf-point block render as one [B*L]-ray batch in a single
+jitted program — the ray axis shards over the device mesh.
+"""
+
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import io as vio
+from ..models.neus import NeuSConfig, neus_render
+from ..ops.light import gen_light_xyz
+
+__all__ = ["GeoExtractor", "intersect_sphere_far", "check_finished"]
+
+VIEW_FILES_CG = ["lvis.npy", "lvis.png", "alpha.png", "normal.npy",
+                 "normal.png", "rgb.png", "xyz.npy", "xyz.png"]
+VIEW_FILES_REAL = ["alpha.png", "normal.npy", "normal.png", "rgb.png",
+                   "xyz.npy", "xyz.png"]
+
+
+def intersect_sphere_far(x, d, r, eps=1e-7):
+    """Far intersection distance of ray (x, d) with the radius-r sphere
+    (gen_geo.py:346-357)."""
+    b = 2.0 * jnp.sum(x * d, axis=-1)
+    a = jnp.sum(d * d, axis=-1)
+    c = jnp.sum(x * x, axis=-1) - r**2
+    denom = jnp.maximum(2 * a, eps)
+    disc = jnp.sqrt(jnp.maximum(jnp.square(b) - 4.0 * a * c, 0.0))
+    t1 = (-b + disc) / denom
+    t2 = (-b - disc) / denom
+    return jnp.maximum(t1, t2)[:, None]
+
+
+def check_finished(view_dir, with_lvis=True):
+    files = VIEW_FILES_CG if with_lvis else VIEW_FILES_REAL
+    return all(os.path.exists(os.path.join(view_dir, f)) for f in files)
+
+
+class GeoExtractor:
+    def __init__(self, params, cfg: NeuSConfig, dataset, scene_out_dir,
+                 use_white_bkgd=True, batch_size=4096, light_h=16,
+                 vis_point_batch=64, alpha_thres_val=0.5):
+        self.params = params
+        self.cfg = cfg
+        self.dataset = dataset
+        self.out_dir = scene_out_dir
+        self.use_white_bkgd = use_white_bkgd
+        self.batch_size = batch_size
+        self.vis_point_batch = vis_point_batch
+        self.alpha_thres_val = alpha_thres_val
+        lxyz, _ = gen_light_xyz(light_h, 2 * light_h)
+        self.lxyz = jnp.asarray(lxyz.reshape(-1, 3), jnp.float32)
+        self.n_lights = self.lxyz.shape[0]
+        self.radius = float(dataset.max_radius)
+
+        bg = jnp.ones((1, 3)) if use_white_bkgd else None
+
+        @jax.jit
+        def _render(params, rays_o, rays_d, near, far):
+            out = neus_render(
+                params, cfg, rays_o, rays_d, near, far, self.radius,
+                key=None, cos_anneal_ratio=1.0, background_rgb=bg)
+            n_core = cfg.n_samples + cfg.n_importance
+            normals = (out["gradients"]
+                       * out["weights"][:, :n_core, None]
+                       * out["inside_sphere"][..., None])
+            normals = jnp.sum(normals, axis=1)
+            return {
+                "color": out["color_fine"],
+                "weight_sum": out["weight_sum"],
+                "surf": out["surf"],
+                "normal": normals,
+            }
+
+        self._render = _render
+
+        @jax.jit
+        def _vis_batch(params, surf, normal):
+            """[B] surface points x all L lights -> [B, L] visibility."""
+            b = surf.shape[0]
+            surf2l = self.lxyz[None, :, :] - surf[:, None, :]  # [B, L, 3]
+            surf2l = surf2l / jnp.linalg.norm(
+                surf2l, axis=-1, keepdims=True)
+            lcos = jnp.einsum("blk,bk->bl", surf2l, normal)
+            front_lit = (lcos > 0).astype(jnp.float32)
+
+            o = jnp.repeat(surf, self.n_lights, axis=0)  # [B*L, 3]
+            d = surf2l.reshape(-1, 3)
+            far = intersect_sphere_far(o, d, self.radius)
+            near = jnp.minimum(jnp.full_like(far, 0.1), far / 2.0)
+            out = neus_render(
+                params, cfg, o, d, near, far, self.radius, key=None,
+                cos_anneal_ratio=1.0, background_rgb=bg)
+            occu = out["weight_sum"].reshape(b, self.n_lights)
+            return front_lit * (1.0 - occu)
+
+        self._vis_batch = _vis_batch
+
+    # -- geometry ----------------------------------------------------------
+    def _render_full(self, rays_o, rays_d):
+        n = rays_o.shape[0]
+        outs = {"color": [], "weight_sum": [], "surf": [], "normal": []}
+        bs = self.batch_size
+        for i in range(0, n, bs):
+            ro = rays_o[i : i + bs]
+            rd = rays_d[i : i + bs]
+            pad = bs - ro.shape[0]
+            if pad:
+                ro = np.pad(ro, ((0, pad), (0, 0)))
+                rd = np.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
+            near, far = self.dataset.near_far(ro, rd)
+            out = self._render(
+                self.params, jnp.asarray(ro), jnp.asarray(rd),
+                jnp.asarray(near), jnp.asarray(far))
+            for k in outs:
+                v = np.asarray(out[k])
+                outs[k].append(v[: bs - pad] if pad else v)
+        return {k: np.concatenate(v, axis=0) for k, v in outs.items()}
+
+    def compute_geo(self, idx, view_dir, alpha_thres=0.5):
+        """Render + write the per-view geometry buffers
+        (gen_geo.py:259-344)."""
+        rays_o, rays_d = self.dataset.gen_rays_at(idx)
+        h, w = rays_o.shape[:2]
+        out = self._render_full(rays_o.reshape(-1, 3), rays_d.reshape(-1, 3))
+
+        img_rgb = (out["color"].reshape(h, w, 3) * 256).clip(0, 255)
+        mask = np.where(out["weight_sum"] > alpha_thres, 1.0, 0.0)
+        img_mask = (mask.reshape(h, w, 1) * 256).clip(0, 255)
+        surf = out["surf"].reshape(h, w, 3)
+
+        normal = out["normal"]
+        normal = normal / np.maximum(
+            np.sqrt(np.sum(normal**2, axis=-1, keepdims=True)), 1e-12)
+        # camera-facing correction (gen_geo.py:359-365)
+        surf2c = rays_o.reshape(-1, 3) - out["surf"]
+        surf2c = surf2c / np.maximum(
+            np.linalg.norm(surf2c, axis=-1, keepdims=True), 1e-12)
+        cos = np.sum(surf2c * normal, axis=-1, keepdims=True)
+        normal = np.where(cos >= 0, normal, -normal).reshape(h, w, 3)
+        # blend onto the normalized-ones background (gen_geo.py:324-327)
+        ones = np.ones_like(normal) / math.sqrt(3.0)
+        m = img_mask / 255.0
+        rot_normal = normal * m + ones * (1.0 - m)
+        normal_img = (rot_normal * 128 + 128).clip(0, 255)
+
+        os.makedirs(view_dir, exist_ok=True)
+        import cv2
+        cv2.imwrite(os.path.join(view_dir, "rgb.png"),
+                    img_rgb[..., ::-1].astype(np.uint8))
+        cv2.imwrite(os.path.join(view_dir, "xyz.png"),
+                    surf[..., ::-1].clip(0, 255).astype(np.uint8))
+        np.save(os.path.join(view_dir, "xyz.npy"),
+                surf.astype(np.float32))
+        cv2.imwrite(os.path.join(view_dir, "alpha.png"),
+                    img_mask[..., 0].astype(np.uint8))
+        cv2.imwrite(os.path.join(view_dir, "normal.png"),
+                    normal_img[..., ::-1].astype(np.uint8))
+        np.save(os.path.join(view_dir, "normal.npy"),
+                rot_normal.astype(np.float32))
+        return surf, rot_normal, img_mask / 256.0
+
+    # -- visibility --------------------------------------------------------
+    def compute_vis(self, view_dir, surf, normal, mask):
+        """512-direction light visibility for fg pixels
+        (gen_geo.py:182-257)."""
+        h, w = surf.shape[:2]
+        alpha = mask[..., 0] > 0
+        surf_fg = surf[alpha].astype(np.float32)
+        normal_fg = normal[alpha].astype(np.float32)
+        n_fg = surf_fg.shape[0]
+
+        lvis_hit = np.zeros((n_fg, self.n_lights), np.float32)
+        bs = self.vis_point_batch
+        for i in range(0, n_fg, bs):
+            s = surf_fg[i : i + bs]
+            nn = normal_fg[i : i + bs]
+            pad = bs - s.shape[0]
+            if pad:
+                s = np.pad(s, ((0, pad), (0, 0)), constant_values=0.5)
+                nn = np.pad(nn, ((0, pad), (0, 0)), constant_values=1.0)
+            lv = np.asarray(self._vis_batch(
+                self.params, jnp.asarray(s), jnp.asarray(nn)))
+            lvis_hit[i : i + bs] = lv[: bs - pad] if pad else lv
+
+        lvis = np.zeros((h, w, self.n_lights), np.float32)
+        lvis[alpha] = lvis_hit
+        import cv2
+        lvis_img = (np.mean(lvis, axis=-1, keepdims=True) * 256).clip(0, 255)
+        cv2.imwrite(os.path.join(view_dir, "lvis.png"),
+                    lvis_img.astype(np.uint8))
+        np.save(os.path.join(view_dir, "lvis.npy"), lvis)
+        return lvis
+
+    # -- driver ------------------------------------------------------------
+    def extract_views(self, is_train=True, num_p=None, p_i=None,
+                      no_vis=False, resume=True):
+        """Extract all views (or this process's shard) — gen_geo.py:126-180.
+        """
+        n_imgs = self.dataset.n_images
+        prefix = "train_" if is_train else "val_"
+        if num_p is None:
+            frame_range = range(n_imgs)
+        else:
+            p_step = math.ceil(n_imgs / num_p)
+            frame_range = range(p_i * p_step, (p_i + 1) * p_step)
+        done = []
+        for idx in frame_range:
+            if idx >= n_imgs:
+                break
+            view_dir = os.path.join(self.out_dir, "%s%03d" % (prefix, idx))
+            if resume and check_finished(view_dir, with_lvis=not no_vis):
+                done.append(view_dir)
+                continue
+            alpha_thres = 0.5 if is_train else self.alpha_thres_val
+            surf, normal, mask = self.compute_geo(
+                idx, view_dir, alpha_thres=alpha_thres)
+            if not no_vis:
+                if is_train:
+                    # GT mask for train views (gen_geo.py:175-179)
+                    gt_mask = self.dataset.masks[idx][..., :1]
+                    self.compute_vis(view_dir, surf, normal, gt_mask)
+                else:
+                    self.compute_vis(view_dir, surf, normal, mask)
+            done.append(view_dir)
+        return done
