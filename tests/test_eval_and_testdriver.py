@@ -1,0 +1,136 @@
+"""Metrics golden tests + 4-phase inference driver end-to-end on a
+synthetic scene."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from vqnerf_release_tpu.eval import metrics
+from vqnerf_release_tpu.utils.vis import EMBED_COLORS, vis_embed_map
+
+from tests.test_data_layer import _make_synth_scene
+
+
+def test_psnr_known_values():
+    a = np.zeros((8, 8, 3), np.uint8)
+    b = np.full((8, 8, 3), 16, np.uint8)
+    expected = 10 * np.log10(255**2 / 256.0)
+    np.testing.assert_allclose(metrics.psnr(a, b), expected, rtol=1e-6)
+    # identical images -> huge psnr
+    assert metrics.psnr(a, a) > 100
+
+
+def test_psnr_luma():
+    rs = np.random.RandomState(0)
+    a = rs.randint(0, 255, (16, 16, 3), dtype=np.uint8)
+    # change only chroma-heavy channel: psnr_luma > psnr
+    b = a.copy()
+    b[..., 2] = np.clip(b[..., 2].astype(int) + 30, 0, 255).astype(np.uint8)
+    assert metrics.psnr_luma(a, b) > metrics.psnr(a, b)
+
+
+def test_ssim_properties():
+    rs = np.random.RandomState(1)
+    a = rs.rand(32, 32, 3).astype(np.float64)
+    assert metrics.ssim(a, a, data_range=1.0) > 0.999
+    noisy = np.clip(a + 0.3 * rs.randn(32, 32, 3), 0, 1)
+    s = metrics.ssim(a, noisy, data_range=1.0)
+    assert 0.0 < s < 0.9
+    # ssim vs tf oracle if tf importable
+    try:
+        import tensorflow as tf
+    except Exception:
+        pytest.skip("tf unavailable")
+    tf_s = float(tf.image.ssim(
+        tf.constant(a[None], tf.float32), tf.constant(noisy[None],
+                                                      tf.float32), 1.0))
+    np.testing.assert_allclose(s, tf_s, atol=0.02)
+
+
+def test_lpips_proxy_monotone():
+    rs = np.random.RandomState(2)
+    a = rs.rand(16, 16, 3)
+    small = np.clip(a + 0.01 * rs.randn(16, 16, 3), 0, 1)
+    big = np.clip(a + 0.3 * rs.randn(16, 16, 3), 0, 1)
+    assert metrics.lpips(a, a) < 1e-6
+    assert metrics.lpips(a, small) < metrics.lpips(a, big)
+
+
+def test_vis_embed_map(tmp_path):
+    embed = np.zeros((4, 6), np.int32)
+    embed[1, 2] = 1
+    embed[2, 3] = 5
+    out = vis_embed_map(embed, tmp_path / "embed_map.png")
+    np.testing.assert_array_equal(out[1, 2], EMBED_COLORS[0])
+    np.testing.assert_array_equal(out[2, 3], EMBED_COLORS[4])
+    np.testing.assert_array_equal(out[0, 0], [0, 0, 0])
+    assert (tmp_path / "embed_map.png").exists()
+
+
+def test_run_test_four_phases(tmp_path):
+    import cv2
+    import jax
+
+    from vqnerf_release_tpu.data.shape_dataset import ShapeDataset
+    from vqnerf_release_tpu.models import decomp_common as dc
+    from vqnerf_release_tpu.models.nfr_unit import init_nfr_unit
+    from vqnerf_release_tpu.models.ref_nfr import init_ref_nfr
+    from vqnerf_release_tpu.models.vq_nfr import init_vq_nfr
+    from vqnerf_release_tpu.pipelines.test_driver import (find_vq,
+                                                          run_test)
+
+    cfg = dc.DecompConfig(light_h=2, num_embed=4, num_drop=2, z_dim=16,
+                          mlp_width=8, imh=16, thres_str="0.1;0.2")
+    data_root, surf_root = _make_synth_scene(
+        str(tmp_path), light_h=cfg.light_h)
+
+    # test envmaps (2 probes)
+    env_dir = tmp_path / "test_envs"
+    os.makedirs(env_dir)
+    rs = np.random.RandomState(0)
+    for name in ("city", "studio"):
+        hdr = rs.rand(cfg.light_h, 2 * cfg.light_h, 3).astype(np.float32)
+        cv2.imwrite(str(env_dir / f"{name}.hdr"), hdr[..., ::-1])
+
+    # models
+    nfr_params = init_nfr_unit(0, cfg)
+    centers = rs.rand(cfg.num_embed, cfg.z_dim).astype(np.float32)
+    vq_params, _ = init_vq_nfr(0, cfg, nfr_params, centers)
+    light = np.ones((*cfg.light_res, 3), np.float32) * 0.5
+    ref_params = init_ref_nfr(0, cfg, vq_params, light)
+
+    # fake a vali epoch dir with main_<k>
+    vali_dir = tmp_path / "vis_vali" / "epoch000000150"
+    os.makedirs(vali_dir / "main_3")
+
+    ds = ShapeDataset(data_root, surf_root, data_type="nerf", imh=16,
+                      mode="test", with_ref=True)
+    assert len(ds) == 2
+    outroot = str(tmp_path / "vis_test" / "ckpt-5")
+    info = run_test(ref_params, vq_params, cfg, ds, outroot,
+                    str(env_dir), vali_epoch_dir=str(vali_dir))
+    assert info["n_vq"] == 3
+
+    for phase, expected in (
+        ("raw_test", ["pred_rgb.png", "pred_albedo.png", "pred_albedo.npy",
+                      "pred_spec.png", "pred_rough.png", "metadata.json"]),
+        ("pd_test", ["pred_rgb.png", "pred_albedo.png"]),
+        ("pd_relit", ["pred_rgb_probes_city.png",
+                      "pred_rgb_probes_studio.png",
+                      "pred_rgb_olat_0000-0000.png",
+                      "pred_rgb_olat_0000-0003.png"]),
+        ("pd_vq", ["embed_map.png"]),
+    ):
+        for b in ("batch000000000", "batch000000001"):
+            d = os.path.join(outroot, phase, b)
+            assert os.path.isdir(d), d
+            for f in expected:
+                assert os.path.exists(os.path.join(d, f)), (phase, b, f)
+
+    # embed map uses only valid colors + background
+    emb = cv2.imread(
+        os.path.join(outroot, "pd_vq", "batch000000000", "embed_map.png"))
+    assert emb is not None
+    assert find_vq(str(vali_dir)) == 3

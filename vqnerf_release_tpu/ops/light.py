@@ -73,8 +73,12 @@ def olat_envmaps(light_h, olat_inten=200.0, ambient_inten=0.0):
     light_res = (light_h, 2 * light_h)
     ambient = ambient_inten * np.ones(light_res + (3,), dtype=np.float32)
     out = {}
-    for i in [4]:
-        for j in [0, 8, 16, 24]:
+    # Row 4, columns {0, 8, 16, 24} at the reference's light_h=16; scaled
+    # proportionally for other resolutions (identical at 16).
+    w = light_res[1]
+    row = min(light_h // 4, light_h - 1)
+    for i in [row]:
+        for j in [0, w // 4, w // 2, 3 * w // 4]:
             envmap = olat_inten * one_hot_img(*light_res, 3, i, j) + ambient
             out["%04d-%04d" % (i, j)] = envmap
     return out
