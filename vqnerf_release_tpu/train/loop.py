@@ -1,0 +1,383 @@
+"""Epoch-level decomposition training drivers.
+
+Parity targets:
+  * generic loop (nfr_unit / ref_nfr): decomp/nerfvq_nfr3/nerfactor/
+    trainvali.py:54-324 — per epoch iterate all train views (1 view = 1
+    outer_sample batch), ckpt + validation every 30 epochs, per-view vis,
+    metas rollup.
+  * VQ loop: nerfactor/train_nfr.py:52-376 — epoch-0 latent k-means init,
+    fixed VQ eval set, per-validation codebook-dropout sweep with elbow
+    selection writing main_<k> dirs, loss.json / vq_test_loss.json /
+    vq_num.png.
+
+Differences by design: host-side numpy sampling feeds jitted steps; RNG is
+a seeded numpy RandomState + jax PRNG stream (TF Philox streams cannot be
+reproduced bit-for-bit — SURVEY.md §7 'Numerical parity').
+"""
+
+import json
+import os
+from os.path import join
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.sampler import build_vq_eval_set, outer_sample
+from ..models import decomp_common as dc
+from ..models.nfr_unit import nfr_unit_forward, nfr_unit_loss
+from ..models.ref_nfr import ref_nfr_forward, ref_nfr_loss
+from ..models.vq_nfr import (vq_encode, vq_nfr_forward, vq_nfr_loss,
+                             vq_test)
+from ..ops.kmeans import kmeans
+from ..ops.math import rgb2chromaticity
+from ..ops.vq import init_vq_ema_state
+from ..utils import ckpt as ckpt_util
+from ..utils.vis import vis_view
+from . import decomp_trainer as dt
+
+__all__ = ["train_nfr_unit", "train_vq_nfr", "train_ref_nfr",
+           "save_metas", "elbow_select"]
+
+
+def _epoch_dir(outdir, epoch):
+    return join(outdir, "vis_vali", "epoch%09d" % epoch)
+
+
+def save_metas(outdir):
+    """Aggregate per-epoch metadata.json metrics (train_nfr.py:491-510)."""
+    vali_root = join(outdir, "vis_vali")
+    metrics = {k: [] for k in
+               ("psnr", "ssim", "lpips", "psnr_luma", "ssim_luma", "mse")}
+    if not os.path.isdir(vali_root):
+        return metrics
+    for e_dir in sorted(os.listdir(vali_root)):
+        if not e_dir.startswith("epoch"):
+            continue
+        epoch_vals = {k: [] for k in metrics}
+        for root, _, files in os.walk(join(vali_root, e_dir)):
+            if "metadata.json" in files:
+                with open(join(root, "metadata.json")) as f:
+                    js = json.load(f)
+                for k, v in js.items():
+                    if k in epoch_vals:
+                        epoch_vals[k].append(v)
+        for k in metrics:
+            metrics[k].append(
+                float(np.mean(epoch_vals[k])) if epoch_vals[k] else None)
+    with open(join(vali_root, "metas.json"), "w") as f:
+        json.dump(metrics, f)
+    return metrics
+
+
+def elbow_select(drop_losses, best_thres):
+    """The reference's elbow rule (train_nfr.py:322-334): pick the first i
+    whose loss improves on i-1 and is within best_thres of every later
+    loss; fall back to the last (all codes)."""
+    n = len(drop_losses)
+    for i in range(1, n - 1):
+        if drop_losses[i - 1] > drop_losses[i]:
+            ok = all(drop_losses[i] - drop_losses[j] <= best_thres
+                     for j in range(i + 1, n))
+            if ok:
+                return i
+    return n - 1
+
+
+def _device_batch(batch):
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+def _vali_pass(forward_vali, views, outdir_fmt, cfg, extra_vis=None):
+    """Run full-image validation over views, writing per-batch vis dirs."""
+    for b_i, view in enumerate(views):
+        pred, psnr_ready = forward_vali(view)
+        vis = {"pred_" + k: v for k, v in pred.items()}
+        vis["gt_rgb"] = view.rgb
+        vis["gt_alpha"] = view.alpha
+        if extra_vis:
+            vis.update(extra_vis)
+        vis_view(vis, (view.h, view.w), outdir_fmt.format(b=b_i), view.id,
+                 white_bg=cfg.white_bg, mode="vali")
+
+
+def train_nfr_unit(cfg: dc.DecompConfig, train_views, vali_views, outdir,
+                   epochs=None, seed=None, jitter_mode="contrast",
+                   resume=True):
+    """Phase-1 trainer (trainvali.py with model=nfr_unit)."""
+    from ..models.nfr_unit import init_nfr_unit
+
+    epochs = epochs or cfg.epochs
+    seed = cfg.random_seed if seed is None else seed
+    rng = np.random.RandomState(seed)
+    lxyz, lareas = dc.light_constants(cfg)
+    params = init_nfr_unit(seed, cfg)
+    tx, step_fn = dt.make_nfr_unit_step(cfg, lxyz, lareas)
+    opt_state = tx.init(params)
+    start_epoch = 0
+
+    if resume:
+        latest = ckpt_util.latest_ckpt(outdir)
+        if latest:
+            state = ckpt_util.load_ckpt(
+                latest, {"params": params, "opt_state": opt_state,
+                         "epoch": 0})
+            params, opt_state = state["params"], state["opt_state"]
+            start_epoch = int(state["epoch"])
+
+    step = start_epoch * max(len(train_views), 1)
+    history = []
+    for epoch in range(start_epoch, epochs):
+        losses = []
+        for view in train_views:
+            batch = _device_batch(outer_sample(
+                view, cfg.n_rays_per_step, rng, jitter_mode=jitter_mode))
+            params, opt_state, ld = step_fn(
+                params, opt_state, batch, jnp.asarray(step, jnp.float32))
+            losses.append(float(ld["loss"]))
+            step += 1
+        history.append(float(np.mean(losses)))
+        e1 = epoch + 1
+        if e1 % cfg_ckpt_period(cfg) == 0 or e1 == epochs:
+            ckpt_util.save_ckpt(outdir, e1, {
+                "params": params, "opt_state": opt_state, "epoch": e1})
+            _nfr_vali(params, cfg, lxyz, lareas, vali_views,
+                      _epoch_dir(outdir, e1), outdir)
+    save_metas(outdir)
+    return params, history
+
+
+def cfg_ckpt_period(cfg):
+    return 30 if cfg.epochs >= 30 else max(1, cfg.epochs // 2)
+
+
+def _nfr_vali(params, cfg, lxyz, lareas, vali_views, epoch_dir, outdir):
+    # light dump (nfr_unit.py:454-462)
+    os.makedirs(epoch_dir, exist_ok=True)
+    light = np.asarray(dc.get_light(params))
+    np.save(join(os.path.dirname(epoch_dir), "np_light.npy"), light)
+    from ..data.io import vis_light
+    vis_light(light, outpath=join(
+        os.path.dirname(epoch_dir), "pred_light.png"), h=256)
+    for b_i, view in enumerate(vali_views):
+        batch = _device_batch(view.as_batch())
+        pred, aux = nfr_unit_forward(
+            params, batch, cfg, lxyz, lareas, mode="vali")
+        vis = {"pred_" + k: np.asarray(v) for k, v in pred.items()
+               if k != "z"}
+        vis["gt_rgb"] = view.rgb
+        vis["gt_alpha"] = view.alpha
+        vis_view(vis, (view.h, view.w),
+                 join(epoch_dir, "batch%09d" % b_i), view.id,
+                 white_bg=cfg.white_bg, mode="vali")
+
+
+def train_vq_nfr(cfg: dc.DecompConfig, nfr_params, train_views, vali_views,
+                 outdir, epochs=None, seed=None, cluster_path=None,
+                 resume=True):
+    """Phase-2 trainer (train_nfr.py:52-376)."""
+    from ..models.vq_nfr import init_vq_nfr
+
+    epochs = epochs or cfg.epochs
+    seed = cfg.random_seed if seed is None else seed
+    rng = np.random.RandomState(seed)
+    lxyz, lareas = dc.light_constants(cfg)
+
+    # --- epoch 0: latent k-means init (train_nfr.py:210-227, 470-488)
+    if cluster_path is None:
+        cluster_path = join(outdir, "cluster_centers.npy")
+    if os.path.exists(cluster_path):
+        centers = np.load(cluster_path)
+    else:
+        zs = []
+        enc_only = {k: nfr_params[k] for k in ("fine_enc", "bottleneck")}
+        for view in train_views:
+            batch = outer_sample(
+                view, cfg.n_rays_per_step, rng, jitter_mode="random")
+            mask = batch["alpha"][:, 0] > 0
+            z = np.asarray(dc.apply_encoder(
+                enc_only, jnp.asarray(batch["xyz"][mask]), cfg))
+            zs.append(z)
+        zs = np.concatenate(zs, axis=0)
+        _, centers = kmeans(zs, cfg.num_embed, seed=seed)
+        centers = np.asarray(centers)
+        os.makedirs(os.path.dirname(cluster_path) or ".", exist_ok=True)
+        np.save(cluster_path, centers)
+
+    params, ema_state = init_vq_nfr(seed, cfg, nfr_params, centers)
+    tx, step_fn = dt.make_vq_nfr_step(cfg, lxyz, lareas)
+    opt_state = tx.init(params)
+
+    # --- fixed VQ eval set (train_nfr.py:96-98, 513-554)
+    per_view = max(1, cfg.total_sample_vq // max(len(train_views), 1))
+    vq_eval = _device_batch(build_vq_eval_set(
+        train_views, per_view, cfg.n_rays_per_step, rng))
+
+    start_epoch = 0
+    if resume:
+        latest = ckpt_util.latest_ckpt(outdir)
+        if latest:
+            state = ckpt_util.load_ckpt(latest, {
+                "params": params, "ema": ema_state,
+                "opt_state": opt_state, "epoch": 0})
+            params, ema_state = state["params"], state["ema"]
+            opt_state, start_epoch = state["opt_state"], int(state["epoch"])
+
+    train_thres = jnp.asarray(cfg.train_thres())
+    val_thres_list = cfg.val_thres_list()
+    x_list = list(range(cfg.num_embed - cfg.num_drop, cfg.num_embed + 1))
+    key = jax.random.PRNGKey(seed)
+
+    step = start_epoch * max(len(train_views), 1)
+    history = []
+    for epoch in range(start_epoch, epochs):
+        loss_dicts = []
+        for view in train_views:
+            batch = _device_batch(outer_sample(
+                view, cfg.n_rays_per_step, rng, jitter_mode="random"))
+            key, sub = jax.random.split(key)
+            params, ema_state, opt_state, ld = step_fn(
+                params, ema_state, opt_state, batch, train_thres, sub,
+                jnp.asarray(step, jnp.float32))
+            loss_dicts.append({k: float(v) for k, v in ld.items()})
+            step += 1
+        history.append(float(np.mean([d["loss"] for d in loss_dicts])))
+
+        e1 = epoch + 1
+        if e1 % cfg_ckpt_period(cfg) == 0 or e1 == epochs:
+            ckpt_util.save_ckpt(outdir, e1, {
+                "params": params, "ema": ema_state,
+                "opt_state": opt_state, "epoch": e1})
+            main_vq = _vq_vali(
+                params, cfg, lxyz, lareas, vali_views, vq_eval,
+                val_thres_list, x_list, loss_dicts,
+                _epoch_dir(outdir, e1), seed)
+    save_metas(outdir)
+    return params, ema_state, history
+
+
+def _vq_vali(params, cfg, lxyz, lareas, vali_views, vq_eval,
+             val_thres_list, x_list, loss_dicts, epoch_dir, seed):
+    os.makedirs(epoch_dir, exist_ok=True)
+    # loss.json: summed mean loss terms across the epoch's batches
+    losses = {}
+    for d in loss_dicts:
+        for k, v in d.items():
+            losses[k] = losses.get(k, 0.0) + v
+    with open(join(epoch_dir, "loss.json"), "w") as f:
+        json.dump(losses, f)
+
+    # light dump (consumed by ref_nfr init, ref_nfr.py:76-88)
+    light = np.asarray(dc.get_light(params))
+    np.save(join(os.path.dirname(epoch_dir), "np_light.npy"), light)
+
+    # dropout sweep on the fixed eval set (train_nfr.py:292-317)
+    key = jax.random.PRNGKey(seed)
+    vq_scores = {"vqrgb": [], "chromaticity": []}
+    for thres in val_thres_list:
+        aux = vq_test(params, vq_eval, cfg, lxyz, lareas,
+                      thres=jnp.asarray(thres), rng=key)
+        mask = aux["mask"]
+        gt = aux["rgb_gt"]
+        vq_rgb = aux["vq_rgb_linear"]
+        from ..ops.colorspace import linear2srgb, srgb2linear
+        if cfg.is_nerf:
+            linear_gt = srgb2linear(gt)
+            vq_srgb = linear2srgb(vq_rgb)
+        else:
+            linear_gt, vq_srgb = gt, vq_rgb
+        denom = float(jnp.maximum(jnp.sum(mask), 1.0))
+        vqrgb = float(jnp.sum(
+            jnp.mean((gt - vq_srgb) ** 2, axis=-1) * mask)) / denom
+        chrom = float(jnp.sum(jnp.mean(
+            (rgb2chromaticity(linear_gt)
+             - rgb2chromaticity(vq_rgb)) ** 2, axis=-1) * mask)) / denom
+        vq_scores["vqrgb"].append(vqrgb)
+        vq_scores["chromaticity"].append(chrom)
+    with open(join(epoch_dir, "vq_test_loss.json"), "w") as f:
+        json.dump(vq_scores, f)
+
+    drop_losses = np.array(vq_scores["chromaticity"])
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        plt.clf()
+        plt.plot(x_list, drop_losses)
+        plt.savefig(join(epoch_dir, "vq_num.png"))
+    except Exception:
+        pass
+
+    main_vq = elbow_select(list(drop_losses), cfg.best_thres)
+
+    # per-threshold validation vis into <epoch>/<k or main_k>/batch%09d
+    for i, thres in enumerate(val_thres_list):
+        k_codes = cfg.num_embed - cfg.num_drop + i
+        sub = ("main_%d" % k_codes) if i == main_vq else str(k_codes)
+        for b_i, view in enumerate(vali_views):
+            batch = _device_batch(view.as_batch())
+            key, k2 = jax.random.split(key)
+            pred, aux, _ = vq_nfr_forward(
+                params, init_vq_ema_state(cfg.z_dim, cfg.num_embed),
+                batch, cfg, lxyz, lareas, mode="vali",
+                thres=jnp.asarray(thres), rng=k2)
+            vis = {"pred_" + k: np.asarray(v) for k, v in pred.items()}
+            vis["gt_rgb"] = view.rgb
+            vis["gt_alpha"] = view.alpha
+            vis_view(vis, (view.h, view.w),
+                     join(epoch_dir, sub, "batch%09d" % b_i), view.id,
+                     white_bg=cfg.white_bg, mode="vali")
+    return main_vq
+
+
+def train_ref_nfr(cfg: dc.DecompConfig, vq_params, light, train_views,
+                  vali_views, outdir, epochs=None, seed=None, resume=True):
+    """Phase-3 trainer (trainvali.py with model=ref_nfr)."""
+    from ..models.ref_nfr import init_ref_nfr
+
+    epochs = epochs or cfg.epochs
+    seed = cfg.random_seed if seed is None else seed
+    rng = np.random.RandomState(seed)
+    lxyz, lareas = dc.light_constants(cfg)
+    params = init_ref_nfr(seed, cfg, vq_params, light)
+    tx, step_fn = dt.make_ref_nfr_step(cfg, lxyz, lareas)
+    opt_state = tx.init(params["train"])
+
+    start_epoch = 0
+    if resume:
+        latest = ckpt_util.latest_ckpt(outdir)
+        if latest:
+            state = ckpt_util.load_ckpt(latest, {
+                "params": params, "opt_state": opt_state, "epoch": 0})
+            params, opt_state = state["params"], state["opt_state"]
+            start_epoch = int(state["epoch"])
+
+    step = start_epoch * max(len(train_views), 1)
+    history = []
+    for epoch in range(start_epoch, epochs):
+        losses = []
+        for view in train_views:
+            batch = _device_batch(outer_sample(
+                view, cfg.n_rays_per_step, rng, jitter_mode="contrast"))
+            params, opt_state, ld = step_fn(
+                params, opt_state, batch, jnp.asarray(step, jnp.float32))
+            losses.append(float(ld["loss"]))
+            step += 1
+        history.append(float(np.mean(losses)))
+        e1 = epoch + 1
+        if e1 % cfg_ckpt_period(cfg) == 0 or e1 == epochs:
+            ckpt_util.save_ckpt(outdir, e1, {
+                "params": params, "opt_state": opt_state, "epoch": e1})
+            epoch_dir = _epoch_dir(outdir, e1)
+            for b_i, view in enumerate(vali_views):
+                batch = _device_batch(view.as_batch())
+                pred, aux = ref_nfr_forward(
+                    params, batch, cfg, lxyz, lareas, mode="vali")
+                vis = {"pred_" + k: np.asarray(v) for k, v in pred.items()}
+                vis["gt_rgb"] = view.rgb
+                vis["gt_alpha"] = view.alpha
+                vis_view(vis, (view.h, view.w),
+                         join(epoch_dir, "batch%09d" % b_i), view.id,
+                         white_bg=cfg.white_bg, mode="vali")
+    save_metas(outdir)
+    return params, history

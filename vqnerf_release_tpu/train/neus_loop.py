@@ -1,0 +1,193 @@
+"""Stage-1 NeuS training driver.
+
+Parity target: geo/NeuS-ours2/nerf_runner.py (Runner): random-ray batches
+cycling a view permutation, warm-up+cosine LR, checkpoint every save_freq,
+validate_image every val_freq (full-view render of rgb/normal writing
+validations_fine/ and normals/), resume from latest ckpt (--is_continue).
+
+TPU-native: the jitted train step consumes host-sampled ray batches; the
+image validation reuses the GeoExtractor's batched renderer.
+"""
+
+import os
+from os.path import join
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.neus import NeuSConfig, neus_render
+from ..utils import ckpt as ckpt_util
+from .neus_trainer import (NeuSTrainConfig, init_neus_opt_state,
+                           make_neus_train_step)
+
+__all__ = ["NeuSRunner"]
+
+
+class NeuSRunner:
+    def __init__(self, cfg: NeuSConfig, tcfg: NeuSTrainConfig, dataset,
+                 base_exp_dir, val_dataset=None, seed=0):
+        from ..models.neus import init_neus
+
+        self.cfg = cfg
+        self.tcfg = tcfg
+        self.dataset = dataset
+        self.val_dataset = val_dataset
+        self.base_exp_dir = base_exp_dir
+        self.rng = np.random.RandomState(seed)
+        self.key = jax.random.PRNGKey(seed)
+        self.params = init_neus(seed, cfg)
+        self.opt_state = init_neus_opt_state(self.params)
+        self.iter_step = 0
+        self.radius = float(dataset.max_radius)
+        self._step_fn = jax.jit(
+            make_neus_train_step(cfg, tcfg, self.radius))
+
+        @jax.jit
+        def _render_val(params, rays_o, rays_d, near, far):
+            bg = jnp.ones((1, 3)) if tcfg.use_white_bkgd else None
+            out = neus_render(params, cfg, rays_o, rays_d, near, far,
+                              self.radius, key=None, cos_anneal_ratio=1.0,
+                              background_rgb=bg)
+            return {"color": out["color_fine"],
+                    "weight_sum": out["weight_sum"]}
+
+        self._render_val = _render_val
+
+    # -- checkpointing (nerf_runner.py:210-232) ----------------------------
+    def save_checkpoint(self):
+        return ckpt_util.save_ckpt(self.base_exp_dir, self.iter_step, {
+            "params": self.params, "opt_state": self.opt_state,
+            "iter_step": self.iter_step})
+
+    def try_resume(self):
+        latest = ckpt_util.latest_ckpt(self.base_exp_dir)
+        if latest:
+            state = ckpt_util.load_ckpt(latest, {
+                "params": self.params, "opt_state": self.opt_state,
+                "iter_step": 0})
+            self.params = state["params"]
+            self.opt_state = state["opt_state"]
+            self.iter_step = int(state["iter_step"])
+        return self.iter_step
+
+    # -- training loop (nerf_runner.py:99-175) -----------------------------
+    def train(self, n_iters=None, log_every=0):
+        end = n_iters if n_iters is not None else self.tcfg.end_iter
+        image_perm = self.rng.permutation(self.dataset.n_images)
+        perm_i = self.iter_step % max(len(image_perm), 1)
+        history = []
+        while self.iter_step < end:
+            img_idx = int(image_perm[perm_i % len(image_perm)])
+            data = self.dataset.gen_random_rays(
+                img_idx, self.tcfg.batch_size, self.rng)
+            near, far = self.dataset.near_far(
+                data["rays_o"], data["rays_d"])
+            batch = {
+                **{k: jnp.asarray(v) for k, v in data.items()},
+                "near": jnp.asarray(near), "far": jnp.asarray(far),
+                "valid": jnp.ones((self.tcfg.batch_size, 1)),
+            }
+            self.key, sub = jax.random.split(self.key)
+            self.params, self.opt_state, metrics = self._step_fn(
+                self.params, self.opt_state, batch, sub,
+                jnp.asarray(self.iter_step, jnp.float32))
+            self.iter_step += 1
+            perm_i += 1
+            if log_every and self.iter_step % log_every == 0:
+                history.append(
+                    {k: float(v) for k, v in metrics.items()})
+            if self.iter_step % self.tcfg.save_freq == 0:
+                self.save_checkpoint()
+            if self.val_dataset is not None and \
+                    self.iter_step % self.tcfg.val_freq == 0:
+                self.validate_image(0)
+            if perm_i % len(image_perm) == 0:
+                image_perm = self.rng.permutation(self.dataset.n_images)
+        return history
+
+    # -- validation (nerf_runner.py:234-379, simplified outputs) -----------
+    def validate_image(self, idx=0, batch_size=4096):
+        ds = self.val_dataset or self.dataset
+        rays_o, rays_d = ds.gen_rays_at(idx)
+        h, w = rays_o.shape[:2]
+        ro = rays_o.reshape(-1, 3)
+        rd = rays_d.reshape(-1, 3)
+        colors, wsums = [], []
+        for i in range(0, ro.shape[0], batch_size):
+            o = ro[i : i + batch_size]
+            d = rd[i : i + batch_size]
+            pad = batch_size - o.shape[0]
+            if pad:
+                o = np.pad(o, ((0, pad), (0, 0)))
+                d = np.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+            near, far = ds.near_far(o, d)
+            out = self._render_val(
+                self.params, jnp.asarray(o), jnp.asarray(d),
+                jnp.asarray(near), jnp.asarray(far))
+            c = np.asarray(out["color"])
+            s = np.asarray(out["weight_sum"])
+            if pad:
+                c, s = c[:-pad], s[:-pad]
+            colors.append(c)
+            wsums.append(s)
+        img = np.concatenate(colors).reshape(h, w, 3)
+        wsum = np.concatenate(wsums).reshape(h, w)
+        outdir = join(self.base_exp_dir, "validations_fine")
+        os.makedirs(outdir, exist_ok=True)
+        import cv2
+        cv2.imwrite(
+            join(outdir, "%08d_%d.png" % (self.iter_step, idx)),
+            (img[..., ::-1] * 256).clip(0, 255).astype(np.uint8))
+        return img, wsum
+
+    def validate_mesh(self, resolution=64, threshold=0.0,
+                      bound=1.1):
+        """Marching-cubes surface extraction (renderer.py:403-408)."""
+        from ..ops.marching_cubes import marching_cubes
+        from ..models import fields as f
+
+        n = resolution
+
+        @jax.jit
+        def sdf_grid(sdf_params, pts):
+            return f.sdf_only(sdf_params, pts, self.cfg.sdf)
+
+        lin = np.linspace(-bound * self.radius, bound * self.radius, n)
+        xs, ys, zs = np.meshgrid(lin, lin, lin, indexing="ij")
+        pts = np.stack([xs, ys, zs], axis=-1).reshape(-1, 3).astype(
+            np.float32)
+        vals = []
+        bs = 65536
+        for i in range(0, pts.shape[0], bs):
+            chunk = pts[i : i + bs]
+            pad = bs - chunk.shape[0]
+            if pad:
+                chunk = np.pad(chunk, ((0, pad), (0, 0)))
+            v = np.asarray(sdf_grid(self.params["sdf"], jnp.asarray(chunk)))
+            vals.append(v[: bs - pad] if pad else v)
+        u = -np.concatenate(vals).reshape(n, n, n)  # mcubes of -sdf
+        verts, tris = marching_cubes(u, threshold)
+        # index space -> world
+        verts = verts / (n - 1.0) * (2 * bound * self.radius) \
+            - bound * self.radius
+        outdir = join(self.base_exp_dir, "meshes")
+        os.makedirs(outdir, exist_ok=True)
+        path = join(outdir, "%08d.ply" % self.iter_step)
+        _write_ply(path, verts, tris)
+        return verts, tris
+
+
+def _write_ply(path, verts, tris):
+    with open(path, "wb") as fh:
+        header = (
+            "ply\nformat ascii 1.0\n"
+            f"element vertex {len(verts)}\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            f"element face {len(tris)}\n"
+            "property list uchar int vertex_indices\nend_header\n")
+        fh.write(header.encode())
+        for v in verts:
+            fh.write(f"{v[0]} {v[1]} {v[2]}\n".encode())
+        for t in tris:
+            fh.write(f"3 {t[0]} {t[1]} {t[2]}\n".encode())

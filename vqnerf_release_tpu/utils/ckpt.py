@@ -47,17 +47,19 @@ def latest_ckpt(outdir):
 
 
 def load_ckpt(path, example_state=None):
-    """Restore a pytree; with example_state, shapes/dtypes are validated and
-    leaves land as jnp arrays of matching structure."""
+    """Restore a pytree; with example_state, the checkpoint is restored
+    INTO that structure (keeps namedtuples like optax states intact)."""
     ckptr = ocp.PyTreeCheckpointer()
     if example_state is None:
         return ckptr.restore(os.path.abspath(path))
-    restored = ckptr.restore(os.path.abspath(path))
+    restored = ckptr.restore(
+        os.path.abspath(path),
+        args=ocp.args.PyTreeRestore(item=example_state))
 
-    def _cast(ref, got):
-        arr = np.asarray(got)
-        assert arr.shape == tuple(np.shape(ref)), (
-            f"ckpt shape {arr.shape} != expected {np.shape(ref)}")
-        return jax.numpy.asarray(arr, dtype=np.asarray(ref).dtype)
+    def _check(ref, got):
+        arr = np.asarray(got) if not hasattr(got, "shape") else got
+        assert tuple(np.shape(arr)) == tuple(np.shape(ref)), (
+            f"ckpt shape {np.shape(arr)} != expected {np.shape(ref)}")
+        return jax.numpy.asarray(arr)
 
-    return jax.tree_util.tree_map(_cast, example_state, restored)
+    return jax.tree_util.tree_map(_check, example_state, restored)
