@@ -1,0 +1,71 @@
+import os
+
+import numpy as np
+import pytest
+
+from vqnerf_release_tpu import config as vcfg
+
+
+def test_scene_families():
+    assert vcfg.scene_family("lego_3072") == "nerf"
+    assert vcfg.scene_family("chair0_3072") == "mat"
+    assert vcfg.scene_family("dtu_scan24") == "dtu"
+    assert vcfg.scene_family("colmap_bottle") == "ours"
+    assert vcfg.scene_family("rabbit_-1") == "hw"
+    assert len(vcfg.SCENE_FAMILY) == 18  # 5+3+3+3+4 scenes
+
+
+def test_decomp_presets():
+    cfg, light = vcfg.decomp_config_for_scene("lego_3072")
+    assert cfg.data_type == "nerf" and cfg.imh == 512
+    assert cfg.num_embed == 15 and cfg.num_drop == 12
+    assert light == 0.5
+    assert len(cfg.train_thres()) == 15
+    cfg, light = vcfg.decomp_config_for_scene("dtu_scan69")
+    assert cfg.data_type == "dtu" and cfg.num_embed == 8
+    assert light == 0.7 and not cfg.white_bg
+    assert len(cfg.val_thres_list()) == 8
+    cfg, light = vcfg.decomp_config_for_scene("rabbit_-1")
+    assert cfg.data_type == "hw" and cfg.imh == 420
+
+
+def test_geo_presets():
+    cfg, tcfg, meta = vcfg.neus_configs_for_scene("lego_3072")
+    assert tcfg.end_iter == 300_000 and tcfg.batch_size == 2560
+    assert tcfg.use_white_bkgd and meta["near"] == 2.0
+    cfg, tcfg, meta = vcfg.neus_configs_for_scene("dtu_scan24")
+    assert tcfg.end_iter == 100_000 and tcfg.lr_end_iter == 300_000
+    assert tcfg.batch_size == 512 and meta["new_h"] == 512
+
+
+def test_output_layout():
+    assert vcfg.surf_dir("/o", "lego_3072") == "/o/nerf_surf/lego_3072"
+    assert vcfg.train_outdir("/o", "lego_3072", "vq_nfr") == \
+        "/o/train/lego_3072_vq_nfr/lr5e-4"
+
+
+def test_ini_interop(tmp_path):
+    # Read the actual reference INI and check field mapping
+    ref_ini = "/root/reference/decomp/nerfvq_nfr3/nerfactor/config/vq_nfr.ini"
+    if not os.path.exists(ref_ini):
+        pytest.skip("reference not mounted")
+    cfg, raw = vcfg.decomp_config_from_ini(
+        ref_ini, override_str="num_embed=8,num_drop=7,"
+        "thres_str=0.1;0.2;0.3;0.4;0.5;0.6;0.7")
+    assert cfg.num_embed == 8 and cfg.num_drop == 7
+    assert cfg.z_dim == 256  # conv_width
+    assert cfg.mlp_width == 128
+    assert cfg.commitment_cost == 0.1
+    assert cfg.combine_weight == 0.2
+    assert cfg.lr == 5e-4 and cfg.lr_decay_steps == 500_000
+    assert cfg.chr_alpha == 60 and cfg.best_thres == 0.002
+    assert len(cfg.train_thres()) == 8
+
+
+def test_cli_parsing(tmp_path):
+    from vqnerf_release_tpu.cli import main
+    with pytest.raises(SystemExit):
+        main([])  # missing subcommand
+    with pytest.raises(FileNotFoundError):
+        main(["decomp-train", "lego_3072", "--data-root",
+              str(tmp_path / "none"), "--phase", "vq_nfr"])

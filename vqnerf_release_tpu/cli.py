@@ -1,0 +1,209 @@
+"""Command-line entry points.
+
+Preserves the reference's workflow surface:
+  * geo-train   <scene>                 == nerf_runner/dtu_runner train
+  * gen-geo     <scene> [--num-p/--p-i] == gen_geo/dtu_geo extraction
+  * decomp-train <scene> [--phase ...]  == scripts/train.sh (all 3 phases)
+  * test        <scene>                 == scripts/test.sh (4 passes)
+  * bench                               == bench.py
+
+Paths: --data-root (scene data), --output-root (defaults ./output),
+mirroring output/train/<scene>_<model>/lr<lr> and surf/<family>_surf.
+"""
+
+import argparse
+import os
+
+import numpy as np
+
+from . import config as vcfg
+
+
+def _add_common(p):
+    p.add_argument("scene")
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--output-root", default="./output")
+    p.add_argument("--seed", type=int, default=None)
+
+
+def cmd_geo_train(args):
+    from .data.neus_dataset import DtuSceneDataset, NerfSceneDataset
+    from .train.neus_loop import NeuSRunner
+
+    cfg, tcfg, meta = vcfg.neus_configs_for_scene(args.scene)
+    if args.end_iter:
+        from dataclasses import replace
+        tcfg = replace(tcfg, end_iter=args.end_iter)
+    if meta["family"] in ("dtu", "ours"):
+        ds = DtuSceneDataset(args.data_root, is_train=True,
+                             new_h=meta["new_h"])
+    else:
+        ds = NerfSceneDataset(args.data_root, is_train=True,
+                              near=meta["near"], far=meta["far"],
+                              new_h=meta["new_h"])
+    exp_dir = os.path.join(
+        args.output_root, "exp", args.scene, meta["family"])
+    runner = NeuSRunner(cfg, tcfg, ds, exp_dir, seed=args.seed or 0)
+    runner.try_resume()
+    runner.train()
+    runner.save_checkpoint()
+
+
+def cmd_gen_geo(args):
+    from .data.neus_dataset import DtuSceneDataset, NerfSceneDataset
+    from .pipelines.gen_geo import GeoExtractor
+    from .models.neus import init_neus
+    from .utils import ckpt as ckpt_util
+
+    cfg, tcfg, meta = vcfg.neus_configs_for_scene(args.scene)
+    mk = DtuSceneDataset if meta["family"] in ("dtu", "ours") \
+        else NerfSceneDataset
+    kwargs = {} if meta["family"] in ("dtu", "ours") else {
+        "near": meta["near"], "far": meta["far"]}
+    exp_dir = os.path.join(
+        args.output_root, "exp", args.scene, meta["family"])
+    params = init_neus(args.seed or 0, cfg)
+    latest = ckpt_util.latest_ckpt(exp_dir)
+    if latest:
+        from .train.neus_trainer import init_neus_opt_state
+        state = ckpt_util.load_ckpt(latest, {
+            "params": params,
+            "opt_state": init_neus_opt_state(params), "iter_step": 0})
+        params = state["params"]
+    no_vis = args.no_vis or args.scene not in vcfg.CG_SCENES
+    out_dir = vcfg.surf_dir(
+        os.path.join(args.output_root, "surf"), args.scene)
+    for is_train in (True, False):
+        ds = mk(args.data_root, is_train=is_train,
+                new_h=meta["new_h"], **kwargs)
+        ex = GeoExtractor(params, cfg, ds, out_dir,
+                          use_white_bkgd=tcfg.use_white_bkgd)
+        ex.extract_views(is_train=is_train, num_p=args.num_p,
+                         p_i=args.p_i, no_vis=no_vis)
+
+
+def cmd_decomp_train(args):
+    from .data.shape_dataset import ShapeDataset
+    from .train import loop
+
+    cfg, light_init = vcfg.decomp_config_for_scene(args.scene)
+    if args.seed is not None:
+        from dataclasses import replace
+        cfg = replace(cfg, random_seed=args.seed)
+    if args.epochs:
+        from dataclasses import replace
+        cfg = replace(cfg, epochs=args.epochs)
+    surf_root = args.surf_root or vcfg.surf_dir(
+        os.path.join(args.output_root, "surf"), args.scene)
+
+    def views(mode, with_ref=False):
+        ds = ShapeDataset(args.data_root, surf_root,
+                          data_type=cfg.data_type, imh=cfg.imh,
+                          white_bg=cfg.white_bg, mode=mode,
+                          with_ref=with_ref)
+        return [ds.load_view(f) for f in ds.files]
+
+    train_views = views("train")
+    vali_views = views("vali")[:8]
+
+    phases = (["nfr_unit", "vq_nfr", "ref_nfr"]
+              if args.phase == "all" else [args.phase])
+
+    nfr_out = vcfg.train_outdir(args.output_root, args.scene, "nfr_unit")
+    vq_out = vcfg.train_outdir(args.output_root, args.scene, "vq_nfr")
+    ref_out = vcfg.train_outdir(args.output_root, args.scene, "ref_nfr")
+
+    nfr_params = None
+    if "nfr_unit" in phases:
+        nfr_params, _ = loop.train_nfr_unit(
+            cfg, train_views, vali_views, nfr_out)
+    vq_params = None
+    if "vq_nfr" in phases:
+        if nfr_params is None:
+            nfr_params = _load_phase_params(nfr_out, cfg, "nfr_unit")
+        vq_params, _, _ = loop.train_vq_nfr(
+            cfg, nfr_params, train_views, vali_views, vq_out)
+    if "ref_nfr" in phases:
+        if vq_params is None:
+            vq_params = _load_phase_params(vq_out, cfg, "vq_nfr")
+        light = np.load(os.path.join(vq_out, "vis_vali", "np_light.npy"))
+        t_views = views("train", with_ref=True)
+        v_views = views("vali", with_ref=True)[:8]
+        loop.train_ref_nfr(cfg, vq_params, light, t_views, v_views,
+                           ref_out)
+
+
+def _load_phase_params(outdir, cfg, phase):
+    from .models.nfr_unit import init_nfr_unit
+    from .models.vq_nfr import init_vq_nfr
+    from .utils import ckpt as ckpt_util
+
+    latest = ckpt_util.latest_ckpt(outdir)
+    if latest is None:
+        raise FileNotFoundError(f"no checkpoint under {outdir}")
+    raw = ckpt_util.load_ckpt(latest)
+    return raw["params"]
+
+
+def cmd_test(args):
+    from .data.shape_dataset import ShapeDataset
+    from .pipelines.test_driver import run_test
+    from .utils import ckpt as ckpt_util
+
+    cfg, _ = vcfg.decomp_config_for_scene(args.scene)
+    surf_root = args.surf_root or vcfg.surf_dir(
+        os.path.join(args.output_root, "surf"), args.scene)
+    vq_out = vcfg.train_outdir(args.output_root, args.scene, "vq_nfr")
+    ref_out = vcfg.train_outdir(args.output_root, args.scene, "ref_nfr")
+    ref_state = ckpt_util.load_ckpt(ckpt_util.latest_ckpt(ref_out))
+    vq_state = ckpt_util.load_ckpt(ckpt_util.latest_ckpt(vq_out))
+
+    import glob
+    epoch_dirs = sorted(
+        glob.glob(os.path.join(vq_out, "vis_vali", "epoch*")))
+    ds = ShapeDataset(args.data_root, surf_root, data_type=cfg.data_type,
+                      imh=cfg.imh, white_bg=cfg.white_bg, mode="test",
+                      with_ref=True)
+    outroot = os.path.join(ref_out, "vis_test", "latest")
+    run_test(ref_state["params"], vq_state["params"], cfg, ds, outroot,
+             args.test_envmap_dir,
+             vali_epoch_dir=epoch_dirs[-1] if epoch_dirs else None,
+             data_root=args.data_root, scene_name=args.scene)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser("vqnerf-tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("geo-train")
+    _add_common(p)
+    p.add_argument("--end-iter", type=int, default=0)
+    p.set_defaults(fn=cmd_geo_train)
+
+    p = sub.add_parser("gen-geo")
+    _add_common(p)
+    p.add_argument("--num-p", type=int, default=None)
+    p.add_argument("--p-i", type=int, default=None)
+    p.add_argument("--no-vis", action="store_true")
+    p.set_defaults(fn=cmd_gen_geo)
+
+    p = sub.add_parser("decomp-train")
+    _add_common(p)
+    p.add_argument("--phase", default="all",
+                   choices=["all", "nfr_unit", "vq_nfr", "ref_nfr"])
+    p.add_argument("--surf-root", default=None)
+    p.add_argument("--epochs", type=int, default=0)
+    p.set_defaults(fn=cmd_decomp_train)
+
+    p = sub.add_parser("test")
+    _add_common(p)
+    p.add_argument("--surf-root", default=None)
+    p.add_argument("--test-envmap-dir", required=True)
+    p.set_defaults(fn=cmd_test)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,179 @@
+"""Typed configuration replacing the reference's INI + HOCON + bash triple
+stack, while preserving its CLI surface (scene names, per-family presets,
+output layout).
+
+Parity targets:
+  * scene -> conf table: geo/NeuS-ours2/models/helpers.py:1-19
+  * geo presets: confs/nerf.conf, confs/dtu.conf (end_iter, batch, near/
+    far, white bg, new_h)
+  * decomp presets: scripts/train/{nfr,vq,ref}_{nerf,mat,dtu,hw,ours}.sh
+    (imh, light_init_val, num_embed/num_drop, thres_str, data_type)
+  * output layout: output/train/<scene>_<model>/lr<lr>/... and
+    surf/<family>_surf/<scene>/<view>/ (scripts/train/*.sh)
+  * INI reading with `k=v,...` overrides (trainvali.py:67-75)
+"""
+
+import configparser
+import os
+from dataclasses import replace
+
+from .models.decomp_common import DecompConfig
+from .models.neus import NeuSConfig
+from .train.neus_trainer import NeuSTrainConfig
+
+__all__ = [
+    "SCENE_FAMILY", "CG_SCENES", "scene_family",
+    "decomp_config_for_scene", "neus_configs_for_scene",
+    "load_ini", "decomp_config_from_ini", "apply_overrides",
+    "surf_dir", "train_outdir",
+]
+
+# scene -> dataset family (helpers.py + scripts/train.sh dispatch)
+SCENE_FAMILY = {
+    "drums_3072": "nerf", "lego_3072": "nerf", "hotdog_2163": "nerf",
+    "materials_2163": "nerf", "ficus_2188": "nerf",
+    "chair0_3072": "mat", "machine1_3072": "mat", "kitchen6_7095": "mat",
+    "dtu_scan24": "dtu", "dtu_scan69": "dtu", "dtu_scan110": "dtu",
+    "colmap_bottle": "ours", "colmap_tools2": "ours",
+    "colmap_wshoes": "ours",
+    "hwchair_-1": "hw", "rabbit_-1": "hw", "redcar_-1": "hw",
+    "toyrabbit_-1": "hw",
+}
+
+CG_SCENES = {
+    "drums_3072", "lego_3072", "hotdog_2163", "materials_2163",
+    "ficus_2188", "chair0_3072", "machine1_3072", "kitchen6_7095",
+}
+
+# per-family decomposition preset (scripts/train/vq_*.sh)
+_FAMILY_DECOMP = {
+    "nerf": dict(data_type="nerf", imh=512, num_embed=15, num_drop=12,
+                 thres_str="0.1;0.15;0.2;0.25;0.3;0.35;0.4;0.45;0.5;"
+                           "0.55;0.6;0.65",
+                 light_init_val=0.5, white_bg=True),
+    "mat": dict(data_type="nerf", imh=420, num_embed=15, num_drop=12,
+                thres_str="0.1;0.15;0.2;0.25;0.3;0.35;0.4;0.45;0.5;"
+                          "0.55;0.6;0.65",
+                light_init_val=0.5, white_bg=True),
+    "dtu": dict(data_type="dtu", imh=512, num_embed=8, num_drop=7,
+                thres_str="0.1;0.2;0.3;0.4;0.5;0.6;0.7",
+                light_init_val=0.7, white_bg=False),
+    "ours": dict(data_type="dtu", imh=420, num_embed=8, num_drop=7,
+                 thres_str="0.1;0.2;0.3;0.4;0.5;0.6;0.7",
+                 light_init_val=1.0, white_bg=False),
+    "hw": dict(data_type="hw", imh=420, num_embed=8, num_drop=7,
+               thres_str="0.1;0.2;0.3;0.4;0.5;0.6;0.7",
+               light_init_val=0.5, white_bg=False),
+}
+
+# per-family geometry preset (confs/nerf.conf vs confs/dtu.conf)
+_FAMILY_GEO = {
+    "nerf": dict(end_iter=300_000, batch_size=2560, use_white_bkgd=True,
+                 near=2.0, far=6.0, new_h=0, lr_end_iter=-1),
+    "mat": dict(end_iter=300_000, batch_size=2560, use_white_bkgd=True,
+                near=2.0, far=6.0, new_h=0, lr_end_iter=-1),
+    "dtu": dict(end_iter=100_000, batch_size=512, use_white_bkgd=False,
+                near=-1.0, far=-1.0, new_h=512, lr_end_iter=300_000),
+    "ours": dict(end_iter=100_000, batch_size=512, use_white_bkgd=False,
+                 near=-1.0, far=-1.0, new_h=420, lr_end_iter=300_000),
+    "hw": dict(end_iter=300_000, batch_size=2560, use_white_bkgd=False,
+               near=2.0, far=6.0, new_h=420, lr_end_iter=-1),
+}
+
+
+def scene_family(scene):
+    if scene in SCENE_FAMILY:
+        return SCENE_FAMILY[scene]
+    if scene.startswith("dtu_"):
+        return "dtu"
+    if scene.startswith("colmap_"):
+        return "ours"
+    return "nerf"
+
+
+def decomp_config_for_scene(scene, **overrides):
+    family = scene_family(scene)
+    kw = dict(_FAMILY_DECOMP[family])
+    light_init = kw.pop("light_init_val")
+    kw.update(overrides)
+    return DecompConfig(**kw), light_init
+
+
+def neus_configs_for_scene(scene, **overrides):
+    family = scene_family(scene)
+    kw = dict(_FAMILY_GEO[family])
+    near, far = kw.pop("near"), kw.pop("far")
+    new_h = kw.pop("new_h")
+    kw.update({k: v for k, v in overrides.items()
+               if k in NeuSTrainConfig.__dataclass_fields__})
+    tcfg = NeuSTrainConfig(**kw)
+    cfg = NeuSConfig()
+    return cfg, tcfg, {"near": near, "far": far, "new_h": new_h,
+                       "family": family}
+
+
+def surf_dir(output_root, scene):
+    """surf/<family>_surf/<scene> (confs *.conf scene_out_dir)."""
+    return os.path.join(
+        output_root, "%s_surf" % scene_family(scene), scene)
+
+
+def train_outdir(output_root, scene, model, lr="5e-4"):
+    """output/train/<scene>_<model>/lr<lr> (scripts/train/*.sh)."""
+    return os.path.join(
+        output_root, "train", "%s_%s" % (scene, model), "lr%s" % lr)
+
+
+# ---------------------------------------------------------------------------
+# INI interop
+
+
+def load_ini(path):
+    parser = configparser.ConfigParser()
+    with open(path) as f:
+        parser.read_string(f.read())
+    return dict(parser["DEFAULT"])
+
+
+def apply_overrides(ini_dict, override_str):
+    """`k=v,k2=v2` override string (trainvali.py:67-75)."""
+    out = dict(ini_dict)
+    if override_str:
+        for kv in override_str.split(","):
+            k, v = kv.split("=", 1)
+            out[k] = v
+    return out
+
+
+_INI_FIELDS = {
+    "data_type": str, "light_h": int, "imh": int, "white_bg":
+        lambda s: s.lower() == "true",
+    "mlp_width": int, "conv_width": ("z_dim", int),
+    "n_freqs_xyz": int, "albedo_slope": float, "albedo_bias": float,
+    "light_init_val": float, "num_embed": int, "num_drop": int,
+    "commitment_cost": float, "combine_weight": float,
+    "vq_loss_weight": float,
+    "chromaticity_loss_weight": float, "mat_sloss_weight": float,
+    "sim_loss_weight": float, "lambert_weight": float,
+    "chr_alpha": float, "chr_thres": float, "lr": float,
+    "lr_decay_steps": lambda s: int(s.replace("_", "")),
+    "lr_decay_rate": float,
+    "n_rays_per_step": int, "epochs": int, "thres_str": str,
+    "total_sample_vq": int, "best_thres": float,
+    "random_seed": int, "xyz_jitter_std": float,
+}
+
+
+def decomp_config_from_ini(path, override_str=""):
+    """Build a DecompConfig from a reference-format INI (config/*.ini)."""
+    raw = apply_overrides(load_ini(path), override_str)
+    kw = {}
+    for ini_key, spec in _INI_FIELDS.items():
+        if ini_key not in raw:
+            continue
+        if isinstance(spec, tuple):
+            field, conv = spec
+        else:
+            field, conv = ini_key, spec
+        kw[field] = conv(raw[ini_key])
+    return DecompConfig(**kw), raw
