@@ -26,7 +26,7 @@ import numpy as np
 from . import io as vio
 from . import rays as vrays
 
-__all__ = ["ShapeView", "ShapeDataset"]
+__all__ = ["ShapeView", "ShapeDataset", "VideoDataset"]
 
 
 @dataclass
@@ -185,3 +185,90 @@ class ShapeDataset:
     def views(self):
         for f in self.files:
             yield self.load_view(f)
+
+
+class VideoDataset(ShapeDataset):
+    """Test-trajectory dataset for video rendering.
+
+    Parity target: datasets/video_nfr.py:40-87 — frames live under
+    <video_root>/test_???/ with metadata.json AND all buffers (xyz/normal/
+    alpha/rgb[, lvis]) in the SAME directory; the NeuS-rendered rgb.png
+    doubles as both the pseudo-GT rgb and the ref buffer; frames are
+    subsampled by ``interp``.
+    """
+
+    def __init__(self, video_root, data_type="nerf", imh=512,
+                 white_bg=True, interp=1, with_ref=True):
+        self.video_root = video_root
+        self.data_root = video_root
+        self.data_nerf_root = video_root
+        self.data_type = data_type
+        self.imh = imh
+        self.white_bg = white_bg
+        self.mode = "test"
+        self.with_ref = with_ref
+        self.interp = interp
+        self.files = self._glob_video()
+
+    def _glob_video(self):
+        import glob
+        metas = sorted(
+            glob.glob(join(self.video_root, "test_???", "metadata.json")))
+        out = []
+        for mp in metas[:: self.interp]:
+            d = dirname(mp)
+            need = [join(d, "xyz.npy"), join(d, "normal.npy"),
+                    join(d, "alpha.png"), join(d, "rgb.png")]
+            if self.data_type == "nerf":
+                need.append(join(d, "lvis.npy"))
+            if all(os.path.exists(pp) for pp in need):
+                out.append(mp)
+        return out
+
+    def load_view(self, metadata_path) -> ShapeView:
+        metadata = vio.read_json(metadata_path)
+        vdir = dirname(metadata_path)
+        vid = basename(vdir)
+        rayo, rayd = self._gen_rays(metadata)
+        imh, imw = rayo.shape[:2]
+
+        xyz = np.load(join(vdir, "xyz.npy")).astype(np.float32)
+        normal = np.load(join(vdir, "normal.npy")).astype(np.float32)
+        pred_alpha = vio.load_img_f32(join(vdir, "alpha.png"))
+        if pred_alpha.ndim == 3:
+            pred_alpha = pred_alpha[..., 0]
+        rgb = vio.load_img_f32(join(vdir, "rgb.png"))[..., :3]
+        alpha = pred_alpha  # no GT on a novel trajectory
+
+        if imh != xyz.shape[0]:
+            xyz = vio.resize(xyz, new_h=imh)
+        if imh != normal.shape[0]:
+            normal = vio.resize(normal, new_h=imh)
+        if imh != pred_alpha.shape[0]:
+            pred_alpha = vio.resize(pred_alpha, new_h=imh)
+            alpha = pred_alpha
+        if imh != rgb.shape[0]:
+            rgb = vio.resize(rgb, new_h=imh)
+
+        zero_bg = np.linalg.norm(xyz - rayo, axis=-1) == 0.0
+        xyz[zero_bg] = rayo[zero_bg] + rayd[zero_bg] * 0.1
+        zero_n = np.mean(normal, axis=-1) == 0.0
+        normal[zero_n] = np.array([0.0, 1.0, 0.0], np.float32)
+        normal = normal / np.maximum(
+            np.linalg.norm(normal, axis=-1, keepdims=True), 1e-12)
+
+        view = ShapeView(
+            id=vid, h=imh, w=imw,
+            rayo=rayo.reshape(-1, 3), rayd=rayd.reshape(-1, 3),
+            rgb=rgb.reshape(-1, 3).astype(np.float32),
+            alpha=alpha.reshape(-1, 1).astype(np.float32),
+            pred_alpha=pred_alpha.reshape(-1, 1).astype(np.float32),
+            xyz=xyz.reshape(-1, 3), normal=normal.reshape(-1, 3))
+        if self.data_type == "nerf":
+            lvis = np.load(join(vdir, "lvis.npy")).astype(np.float32)
+            if imh != lvis.shape[0]:
+                lvis = vio.resize(lvis, new_h=imh)
+            view.lvis = np.clip(lvis, 0, 1).reshape(imh * imw, -1)
+        if self.with_ref:
+            view.ref = rgb.reshape(-1, 3).astype(np.float32)
+        return view

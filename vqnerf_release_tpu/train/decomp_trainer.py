@@ -11,6 +11,8 @@ Each make_* returns a jit-compiled step over a ray-sharded batch; params
 replicated; XLA inserts the gradient all-reduce.
 """
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -43,7 +45,7 @@ def make_nfr_unit_step(cfg: dc.DecompConfig, lxyz, lareas):
             params, batch, cfg, lxyz, lareas, mode="train")
         return nfr_unit_loss(aux, cfg, mode="train")
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0, 1))
     def step_fn(params, opt_state, batch, step):
         (loss, ld), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, batch)
@@ -71,7 +73,7 @@ def make_vq_nfr_step(cfg: dc.DecompConfig, lxyz, lareas):
         loss, ld = vq_nfr_loss(params, aux, cfg, mode="train")
         return loss, (ld, new_ema, aux["codebook_update"])
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
     def step_fn(params, ema_state, opt_state, batch, thres, rng, step):
         (loss, (ld, new_ema, cb_update)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, ema_state, batch, thres, rng)
@@ -97,7 +99,7 @@ def make_ref_nfr_step(cfg: dc.DecompConfig, lxyz, lareas):
             params, batch, cfg, lxyz, lareas, mode="train")
         return ref_nfr_loss(aux, cfg, mode="train")
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(1,))
     def step_fn(params, opt_state, batch, step):
         (loss, ld), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params["train"], params["frozen"], batch)
