@@ -62,17 +62,19 @@ def main():
         return step_fn(params, ema_state, opt_state, batch, thres, rng,
                        jnp.asarray(step, jnp.float32))
 
-    # Warm-up / compile
+    # Warm-up / compile. NOTE: under the axon tunnel block_until_ready is
+    # not a reliable barrier — a host transfer of a value that depends on
+    # the full chain is, so timings close over float(loss).
     params, ema_state, opt_state, ld = run_step(params, ema_state,
                                                 opt_state, 0)
-    jax.block_until_ready(ld["loss"])
+    float(ld["loss"])
 
     n_iters = 50
     t0 = time.perf_counter()
     for i in range(1, n_iters + 1):
         params, ema_state, opt_state, ld = run_step(
             params, ema_state, opt_state, i)
-    jax.block_until_ready(ld["loss"])
+    float(ld["loss"])  # forces completion of the whole chain
     dt = time.perf_counter() - t0
 
     rays_per_sec = n_rays * n_iters / dt
