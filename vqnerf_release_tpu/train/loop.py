@@ -23,7 +23,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.sampler import build_vq_eval_set, outer_sample
+from ..data.sampler import build_vq_eval_set
+from ..data.sampler import outer_sample as _outer_sample_np
+
+
+def outer_sample(view, n_rays, rng, jitter_mode="random", alpha_thres=0.9):
+    """Dispatch to the native sampler (native/fastloader) when built and
+    enabled via VQNERF_NATIVE_SAMPLER=1; numpy otherwise. The two produce
+    identical contracts but different RNG streams."""
+    import os as _os
+    if _os.environ.get("VQNERF_NATIVE_SAMPLER") == "1":
+        from ..data import native as _native
+        if _native.native_available():
+            return _native.outer_sample_native(
+                view, n_rays, seed=int(rng.randint(0, 2**31 - 1)),
+                jitter_mode=jitter_mode, alpha_thres=alpha_thres)
+    return _outer_sample_np(view, n_rays, rng, jitter_mode=jitter_mode,
+                            alpha_thres=alpha_thres)
 from ..models import decomp_common as dc
 from ..models.nfr_unit import nfr_unit_forward, nfr_unit_loss
 from ..models.ref_nfr import ref_nfr_forward, ref_nfr_loss
@@ -134,9 +150,11 @@ def train_nfr_unit(cfg: dc.DecompConfig, train_views, vali_views, outdir,
                 view, cfg.n_rays_per_step, rng, jitter_mode=jitter_mode))
             params, opt_state, ld = step_fn(
                 params, opt_state, batch, jnp.asarray(step, jnp.float32))
-            losses.append(float(ld["loss"]))
+            # keep losses on device: a float() here would serialize the
+            # async dispatch pipeline against host-side sampling
+            losses.append(ld["loss"])
             step += 1
-        history.append(float(np.mean(losses)))
+        history.append(float(np.mean([float(l) for l in losses])))
         e1 = epoch + 1
         if e1 % cfg_ckpt_period(cfg) == 0 or e1 == epochs:
             ckpt_util.save_ckpt(outdir, e1, {
@@ -239,8 +257,10 @@ def train_vq_nfr(cfg: dc.DecompConfig, nfr_params, train_views, vali_views,
             params, ema_state, opt_state, ld = step_fn(
                 params, ema_state, opt_state, batch, train_thres, sub,
                 jnp.asarray(step, jnp.float32))
-            loss_dicts.append({k: float(v) for k, v in ld.items()})
+            loss_dicts.append(ld)  # device arrays; sync at epoch end
             step += 1
+        loss_dicts = [
+            {k: float(v) for k, v in d.items()} for d in loss_dicts]
         history.append(float(np.mean([d["loss"] for d in loss_dicts])))
 
         e1 = epoch + 1
@@ -361,9 +381,9 @@ def train_ref_nfr(cfg: dc.DecompConfig, vq_params, light, train_views,
                 view, cfg.n_rays_per_step, rng, jitter_mode="contrast"))
             params, opt_state, ld = step_fn(
                 params, opt_state, batch, jnp.asarray(step, jnp.float32))
-            losses.append(float(ld["loss"]))
+            losses.append(ld["loss"])  # device array; sync at epoch end
             step += 1
-        history.append(float(np.mean(losses)))
+        history.append(float(np.mean([float(l) for l in losses])))
         e1 = epoch + 1
         if e1 % cfg_ckpt_period(cfg) == 0 or e1 == epochs:
             ckpt_util.save_ckpt(outdir, e1, {
