@@ -23,7 +23,7 @@ import numpy as np
 from . import io as vio
 from . import rays as vrays
 
-__all__ = ["NerfSceneDataset", "DtuSceneDataset"]
+__all__ = ["NerfSceneDataset", "DtuSceneDataset", "TrajectoryDataset"]
 
 
 class _Base:
@@ -152,3 +152,60 @@ class DtuSceneDataset(_Base):
 
     def near_far(self, rays_o, rays_d):
         return vrays.near_far_sphere(rays_o, rays_d)
+
+
+class TrajectoryDataset(_Base):
+    """Stage-1 video-trajectory cameras (no images).
+
+    Parity target: geo/NeuS-ours2/models/hwvideo.py / dtuvideo.py — load
+    transforms_test.json (NeRF convention) and generate full-frame rays
+    for each trajectory pose so GeoExtractor can render per-frame
+    geometry buffers (gen_video.py).
+    """
+
+    def __init__(self, data_dir, imh, imw, near=2.0, far=6.0,
+                 transforms_name="transforms_test.json"):
+        with open(os.path.join(data_dir, transforms_name)) as f:
+            cams = json.load(f)
+        self.H, self.W = imh, imw
+        self.near_v, self.far_v = near, far
+        self.cx = cams.get("cx")
+        self.cy = cams.get("cy")
+        self.focal = 0.5 * imw / np.tan(0.5 * cams["camera_angle_x"])
+        self.cam_angle_x = cams["camera_angle_x"]
+        self.poses = []
+        for fr in cams["frames"]:
+            pm = fr["transform_matrix"]
+            if isinstance(pm, str):
+                pm = [float(x) for x in pm.split(",")]
+            self.poses.append(np.asarray(pm, np.float64).reshape(4, 4))
+        self.n_images = len(self.poses)
+        self.max_radius = vrays.max_radius_from_poses(
+            self.poses, near, far)
+        # GeoExtractor uses dataset.masks for train lvis; trajectories
+        # have no GT masks
+        self.masks = None
+
+    def _rays_at_pixels(self, img_idx, xs, ys):
+        cx = self.W // 2 if self.cx is None else int(self.cx)
+        cy = self.H // 2 if self.cy is None else int(self.cy)
+        p = np.stack(
+            [(xs - cx) / self.focal, -(ys - cy) / self.focal,
+             -np.ones_like(xs, np.float64)], axis=-1)
+        c2w = self.poses[img_idx]
+        rayd = p @ c2w[:3, :3].T
+        rayd = rayd / np.linalg.norm(rayd, axis=-1, keepdims=True)
+        rayo = np.broadcast_to(c2w[:3, 3], rayd.shape).copy()
+        return rayo, rayd
+
+    def near_far(self, rays_o, rays_d):
+        return vrays.near_far_fixed(
+            rays_o.shape[0], self.near_v, self.far_v)
+
+    def frame_metadata(self, idx):
+        return {
+            "imh": self.H, "imw": self.W,
+            "cam_angle_x": self.cam_angle_x,
+            "cam_transform_mat": ",".join(
+                str(float(x)) for x in self.poses[idx].reshape(-1)),
+        }
