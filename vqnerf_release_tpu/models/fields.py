@@ -118,6 +118,18 @@ def sdf_gradient(params, x, cfg: SDFConfig):
     return g
 
 
+def sdf_value_feature_gradient(params, x, cfg: SDFConfig):
+    """(sdf [N,1], feature [N,d_out-1], d sdf/d x [N,3]) sharing ONE
+    forward pass via vjp — the render core needs all three, and calling
+    sdf_apply + sdf_gradient separately runs the MLP forward twice."""
+    out, vjp_fn = jax.vjp(lambda pts: sdf_apply(params, pts, cfg), x)
+    sdf = out[:, :1]
+    feature = out[:, 1:]
+    seed = jnp.zeros_like(out).at[:, 0].set(1.0)
+    (grad,) = vjp_fn(seed)
+    return sdf, feature, grad
+
+
 def init_color(key, cfg: ColorConfig):
     d_view_embed = posenc_dim(3, cfg.multires_view) \
         if cfg.multires_view > 0 else 3

@@ -127,10 +127,8 @@ def _render_core(params, cfg: NeuSConfig, rays_o, rays_d, z_vals, sample_dist,
     pts_flat = pts.reshape(-1, 3)
     dirs_flat = dirs.reshape(-1, 3)
 
-    sdf_out = fields.sdf_apply(params["sdf"], pts_flat, cfg.sdf)
-    sdf = sdf_out[:, :1]
-    feature = sdf_out[:, 1:]
-    gradients = fields.sdf_gradient(params["sdf"], pts_flat, cfg.sdf)
+    sdf, feature, gradients = fields.sdf_value_feature_gradient(
+        params["sdf"], pts_flat, cfg.sdf)
     sampled_color = fields.color_apply(
         params["color"], pts_flat, gradients, dirs_flat, feature, cfg.color
     ).reshape(batch_size, n_samples, 3)
