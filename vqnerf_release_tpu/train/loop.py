@@ -100,8 +100,38 @@ def elbow_select(drop_losses, best_thres):
     return n - 1
 
 
+_MESH = None
+
+
+def _get_mesh():
+    """Lazy 1-D ray mesh over all devices (no-op sharding on 1 device)."""
+    global _MESH
+    if _MESH is None:
+        from ..parallel import get_mesh
+        _MESH = get_mesh()
+    return _MESH
+
+
 def _device_batch(batch):
-    return {k: jnp.asarray(v) for k, v in batch.items()}
+    """device_put a batch with the ray axis sharded over the mesh.
+    Ray counts are padded to a device multiple with alpha=0 rows (masked
+    out everywhere downstream)."""
+    mesh = _get_mesh()
+    n_dev = mesh.devices.size
+    if n_dev == 1:
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+    from ..parallel import shard_batch
+    n = next(iter(batch.values())).shape[0]
+    if n % n_dev:
+        import numpy as _np
+        pad = n_dev - n % n_dev
+        batch = {
+            k: _np.concatenate(
+                [v, _np.zeros((pad,) + v.shape[1:], v.dtype)])
+            for k, v in batch.items()
+        }
+    sharded, _ = shard_batch(batch, mesh, pad=False)
+    return sharded
 
 
 def _vali_pass(forward_vali, views, outdir_fmt, cfg, extra_vis=None):
