@@ -1,0 +1,226 @@
+"""End-to-end two-stage smoke run on a synthetic analytic scene.
+
+Generates a lambertian colored sphere with exact geometry/alpha, then:
+  stage 1: trains NeuS for --geo-iters and extracts surf buffers (incl.
+           lvis) for train+val views
+  stage 2: trains nfr_unit -> vq_nfr -> ref_nfr for --epochs each
+  test:    runs the 4-phase inference driver
+and reports stage-1 validation PSNR and stage-2 reconstruction PSNR.
+
+This is BASELINE.json config 5 ("end-to-end two-stage geo+decomp
+pipeline") at smoke scale. Run on TPU:  python scripts/smoke_e2e.py
+"""
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+from os.path import join
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def look_at_c2w(eye):
+    eye = np.asarray(eye, np.float64)
+    fwd = -eye / np.linalg.norm(eye)
+    up = np.array([0.0, 1.0, 0.0])
+    right = np.cross(fwd, up)
+    right /= np.linalg.norm(right)
+    true_up = np.cross(right, fwd)
+    c2w = np.eye(4)
+    c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = (
+        right, true_up, -fwd, eye)
+    return c2w
+
+
+def render_sphere_view(c2w, cam_angle_x, h, w, radius=0.5):
+    """Analytic lambertian sphere: albedo from surface position, light
+    from a fixed direction + ambient. Returns rgba float [h,w,4]."""
+    fl = 0.5 * w / np.tan(0.5 * cam_angle_x)
+    xs, ys = np.meshgrid(np.arange(w, dtype=np.float64),
+                         np.arange(h, dtype=np.float64))
+    dirs = np.stack(((xs - w / 2) / fl, -(ys - h / 2) / fl,
+                     -np.ones_like(xs)), -1)
+    rayd = dirs @ c2w[:3, :3].T
+    rayd /= np.linalg.norm(rayd, axis=-1, keepdims=True)
+    rayo = c2w[:3, 3]
+
+    b = 2 * np.einsum("hwk,k->hw", rayd, rayo)
+    c = np.dot(rayo, rayo) - radius**2
+    disc = b**2 - 4 * c
+    hit = disc > 0
+    t = np.where(hit, (-b - np.sqrt(np.maximum(disc, 0))) / 2, 0.0)
+    pts = rayo + t[..., None] * rayd
+    normal = pts / radius
+
+    # albedo: two materials by hemisphere + position tint
+    albedo = np.where(pts[..., 0:1] > 0,
+                      np.array([0.8, 0.25, 0.2]),
+                      np.array([0.2, 0.4, 0.8]))
+    ldir = np.array([0.5, 0.7, 0.5])
+    ldir = ldir / np.linalg.norm(ldir)
+    shade = np.clip(np.einsum("hwk,k->hw", normal, ldir), 0, 1)[..., None]
+    rgb = albedo * (0.25 + 0.75 * shade)
+    rgba = np.concatenate(
+        [np.clip(rgb, 0, 1), hit[..., None].astype(np.float64)], axis=-1)
+    rgba[~hit, :3] = 1.0  # white bg
+    return rgba
+
+
+def make_scene(root, n_train=8, n_val=2, h=64, w=64, cam_angle_x=0.6):
+    import cv2
+    for mode, n in (("train", n_train), ("val", n_val)):
+        frames = []
+        for i in range(n):
+            ang = 2 * math.pi * (i + (0.5 if mode == "val" else 0)) / n
+            elev = 0.35 if i % 2 else -0.1
+            eye = [2.2 * math.sin(ang), 0.9 * elev + 0.5,
+                   2.2 * math.cos(ang)]
+            c2w = look_at_c2w(eye)
+            frames.append({"transform_matrix": c2w.tolist()})
+            rgba = render_sphere_view(c2w, cam_angle_x, h, w)
+            d = join(root, "%s_%03d" % (mode, i))
+            os.makedirs(d, exist_ok=True)
+            cv2.imwrite(join(d, "rgba.png"),
+                        (rgba * 65535).astype(np.uint16)[..., [2, 1, 0, 3]])
+            meta = {"imh": h, "imw": w, "cam_angle_x": cam_angle_x,
+                    "cam_transform_mat": ",".join(
+                        str(x) for x in c2w.reshape(-1))}
+            with open(join(d, "metadata.json"), "w") as f:
+                json.dump(meta, f)
+        with open(join(root, "transforms_%s.json" % mode), "w") as f:
+            json.dump({"camera_angle_x": cam_angle_x, "frames": frames}, f)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/vqnerf_smoke")
+    ap.add_argument("--geo-iters", type=int, default=800)
+    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--imh", type=int, default=64)
+    ap.add_argument("--light-h", type=int, default=4)
+    args = ap.parse_args()
+
+    from vqnerf_release_tpu.data.neus_dataset import NerfSceneDataset
+    from vqnerf_release_tpu.data.shape_dataset import ShapeDataset
+    from vqnerf_release_tpu.eval.metrics import psnr
+    from vqnerf_release_tpu.models import decomp_common as dc
+    from vqnerf_release_tpu.models.neus import NeuSConfig
+    from vqnerf_release_tpu.pipelines.gen_geo import GeoExtractor
+    from vqnerf_release_tpu.train import loop
+    from vqnerf_release_tpu.train.neus_loop import NeuSRunner
+    from vqnerf_release_tpu.train.neus_trainer import NeuSTrainConfig
+
+    root = args.root
+    scene_dir = join(root, "scene")
+    os.makedirs(scene_dir, exist_ok=True)
+    print("== generating synthetic scene")
+    make_scene(scene_dir, h=args.imh, w=args.imh)
+
+    # ---- stage 1
+    t0 = time.time()
+    ds = NerfSceneDataset(scene_dir, is_train=True, near=1.2, far=3.5)
+    cfg1 = NeuSConfig(n_samples=40, n_importance=40, up_sample_steps=4)
+    tcfg = NeuSTrainConfig(end_iter=args.geo_iters,
+                           warm_up_end=max(args.geo_iters // 10, 1),
+                           batch_size=1024, save_freq=10**9,
+                           val_freq=10**9, use_white_bkgd=True)
+    runner = NeuSRunner(cfg1, tcfg, ds, join(root, "exp"), seed=0)
+    runner.train(log_every=max(args.geo_iters // 8, 1))
+    img, wsum = runner.validate_image(0)
+    gt = ds.images[0]
+    geo_psnr = psnr((np.clip(img, 0, 1) * 255).astype(np.uint8),
+                    (gt * 255).astype(np.uint8))
+    print(f"== stage-1 done in {time.time()-t0:.0f}s, "
+          f"val-view PSNR {geo_psnr:.2f} dB")
+
+    print("== extracting geometry buffers (incl. lvis)")
+    t0 = time.time()
+    surf_root = join(root, "surf")
+    for is_train in (True, False):
+        ds_x = NerfSceneDataset(scene_dir, is_train=is_train, near=1.2,
+                                far=3.5)
+        ex = GeoExtractor(runner.params, cfg1, ds_x, surf_root,
+                          use_white_bkgd=True, batch_size=4096,
+                          light_h=args.light_h, vis_point_batch=128)
+        ex.extract_views(is_train=is_train)
+    print(f"== extraction done in {time.time()-t0:.0f}s")
+
+    # ---- stage 2
+    cfg2 = dc.DecompConfig(
+        light_h=args.light_h, imh=args.imh, num_embed=6, num_drop=4,
+        thres_str="0.1;0.2;0.3;0.4", z_dim=64, mlp_width=64,
+        n_rays_per_step=512, epochs=args.epochs, total_sample_vq=20000,
+        light_init_val=0.5)
+
+    def views(mode, with_ref=False):
+        d = ShapeDataset(scene_dir, surf_root, data_type="nerf",
+                         imh=args.imh, mode=mode, with_ref=with_ref)
+        return [d.load_view(f) for f in d.files]
+
+    train_views = views("train")
+    vali_views = views("vali")[:2]
+    print(f"== stage 2: {len(train_views)} train views")
+
+    t0 = time.time()
+    nfr_out = join(root, "out", "sphere_nfr_unit", "lr5e-4")
+    nfr_params, h1 = loop.train_nfr_unit(
+        cfg2, train_views, vali_views, nfr_out)
+    print(f"== nfr_unit {time.time()-t0:.0f}s: "
+          f"loss {h1[0]:.5f} -> {h1[-1]:.5f}")
+
+    t0 = time.time()
+    vq_out = join(root, "out", "sphere_vq_nfr", "lr5e-4")
+    vq_params, ema, h2 = loop.train_vq_nfr(
+        cfg2, nfr_params, train_views, vali_views, vq_out)
+    print(f"== vq_nfr {time.time()-t0:.0f}s: "
+          f"loss {h2[0]:.5f} -> {h2[-1]:.5f}")
+
+    t0 = time.time()
+    light = np.load(join(vq_out, "vis_vali", "np_light.npy"))
+    ref_out = join(root, "out", "sphere_ref_nfr", "lr5e-4")
+    tv_ref = views("train", with_ref=True)
+    vv_ref = views("vali", with_ref=True)[:2]
+    ref_params, h3 = loop.train_ref_nfr(
+        cfg2, vq_params, light, tv_ref, vv_ref, ref_out)
+    print(f"== ref_nfr {time.time()-t0:.0f}s: "
+          f"loss {h3[0]:.5f} -> {h3[-1]:.5f}")
+
+    # stage-2 recon PSNR on a val view
+    import glob
+    ep_dirs = sorted(glob.glob(join(ref_out, "vis_vali", "epoch*")))
+    meta = json.load(open(join(ep_dirs[-1], "batch000000000",
+                               "metadata.json")))
+    print(f"== stage-2 recon PSNR (val view): "
+          f"{meta.get('psnr', float('nan')):.2f} dB")
+
+    # ---- 4-phase inference
+    import cv2
+
+    from vqnerf_release_tpu.pipelines.test_driver import run_test
+    env_dir = join(root, "test_envs")
+    os.makedirs(env_dir, exist_ok=True)
+    rs = np.random.RandomState(0)
+    for name in ("city", "studio"):
+        cv2.imwrite(join(env_dir, name + ".hdr"),
+                    rs.rand(args.light_h, 2 * args.light_h, 3).astype(
+                        np.float32)[..., ::-1])
+    vq_eps = sorted(glob.glob(join(vq_out, "vis_vali", "epoch*")))
+    test_ds = ShapeDataset(scene_dir, surf_root, data_type="nerf",
+                           imh=args.imh, mode="test", with_ref=True)
+    info = run_test(ref_params, vq_params, cfg2, test_ds,
+                    join(ref_out, "vis_test", "latest"), env_dir,
+                    vali_epoch_dir=vq_eps[-1])
+    print(f"== 4-phase inference done; selected n_vq={info['n_vq']}")
+    print("== SMOKE E2E OK")
+    return {"geo_psnr": geo_psnr, "recon_psnr": meta.get("psnr"),
+            "losses": (h1[-1], h2[-1], h3[-1])}
+
+
+if __name__ == "__main__":
+    main()

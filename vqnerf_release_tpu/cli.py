@@ -171,6 +171,53 @@ def cmd_test(args):
              data_root=args.data_root, scene_name=args.scene)
 
 
+def cmd_ini_train(args):
+    """INI-driven training entry mirroring the reference's
+    `trainvali.py --config=<model>.ini --config_override=k=v,...`
+    (trainvali.py:54-90): model/dataset/paths all come from the INI."""
+    import numpy as _np
+
+    from .data.shape_dataset import ShapeDataset
+    from .train import loop
+
+    cfg, raw = vcfg.decomp_config_from_ini(args.config,
+                                           args.config_override)
+    model = raw.get("model", "nfr_unit")
+    data_root = raw["data_root"]
+    surf_root = raw["data_nerf_root"]
+    outroot = raw.get("outroot", "./output/train/run")
+    xname = raw.get("xname", "lr{lr}").format(**raw)
+    outdir = os.path.join(outroot, xname)
+
+    def views(mode, with_ref=False):
+        ds = ShapeDataset(data_root, surf_root, data_type=cfg.data_type,
+                          imh=cfg.imh, white_bg=cfg.white_bg, mode=mode,
+                          with_ref=with_ref)
+        return [ds.load_view(f) for f in ds.files]
+
+    if model == "nfr_unit":
+        loop.train_nfr_unit(cfg, views("train"), views("vali")[:8],
+                            outdir)
+    elif model == "vq_nfr":
+        nfr_params = _load_phase_params(
+            os.path.dirname(os.path.dirname(raw["nfr_model_ckpt"])),
+            cfg, "nfr_unit")
+        loop.train_vq_nfr(cfg, nfr_params, views("train"),
+                          views("vali")[:8], outdir,
+                          cluster_path=raw.get("cluster_center_path"))
+    elif model == "ref_nfr":
+        vq_dir = os.path.dirname(
+            os.path.dirname(raw["nfr_model_ckpt"]))
+        vq_params = _load_phase_params(vq_dir, cfg, "vq_nfr")
+        light = _np.load(
+            os.path.join(vq_dir, "vis_vali", "np_light.npy"))
+        loop.train_ref_nfr(cfg, vq_params, light,
+                           views("train", with_ref=True),
+                           views("vali", with_ref=True)[:8], outdir)
+    else:
+        raise NotImplementedError(model)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser("vqnerf-tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -200,6 +247,11 @@ def main(argv=None):
     p.add_argument("--surf-root", default=None)
     p.add_argument("--test-envmap-dir", required=True)
     p.set_defaults(fn=cmd_test)
+
+    p = sub.add_parser("ini-train")
+    p.add_argument("--config", required=True)
+    p.add_argument("--config-override", default="")
+    p.set_defaults(fn=cmd_ini_train)
 
     args = ap.parse_args(argv)
     args.fn(args)
