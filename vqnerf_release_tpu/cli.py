@@ -218,6 +218,38 @@ def cmd_ini_train(args):
         raise NotImplementedError(model)
 
 
+def cmd_metric_eval(args):
+    from .eval.metric_eval import eval_dataset
+    scores = eval_dataset(
+        args.scenes.split(","), args.family, args.pred_root,
+        args.gt_root, out_json=args.out_json, model_name=args.model)
+    import numpy as _np
+    for scene, bufs in scores.items():
+        for buf, ms in bufs.items():
+            if ms["psnr"]:
+                print(scene, buf,
+                      "psnr %.2f" % _np.mean(ms["psnr"]),
+                      "ssim %.4f" % _np.mean(ms["ssim"]),
+                      "lpips %.4f" % _np.mean(ms["lpips"]))
+
+
+def cmd_cluster_eval(args):
+    import json as _json
+
+    from .eval.cluster_eval import eval_scene_segmentation
+    out = {}
+    for scene in args.scenes.split(","):
+        m = eval_scene_segmentation(
+            os.path.join(args.rgba_root, scene),
+            os.path.join(args.label_root, scene),
+            os.path.join(args.pred_root, scene))
+        out[scene] = m
+        print(scene, m)
+    os.makedirs(os.path.dirname(args.out_json) or ".", exist_ok=True)
+    with open(args.out_json, "w") as f:
+        _json.dump({"vq": out}, f)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser("vqnerf-tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -252,6 +284,25 @@ def main(argv=None):
     p.add_argument("--config", required=True)
     p.add_argument("--config-override", default="")
     p.set_defaults(fn=cmd_ini_train)
+
+    p = sub.add_parser("metric-eval")
+    p.add_argument("--family", required=True,
+                   choices=["nerf", "mat", "dtu", "ours", "hw"])
+    p.add_argument("--scenes", required=True,
+                   help="comma-separated scene names")
+    p.add_argument("--pred-root", required=True)
+    p.add_argument("--gt-root", required=True)
+    p.add_argument("--out-json", default="scores/ref_nfr.json")
+    p.add_argument("--model", default="ref_nfr")
+    p.set_defaults(fn=cmd_metric_eval)
+
+    p = sub.add_parser("cluster-eval")
+    p.add_argument("--scenes", required=True)
+    p.add_argument("--rgba-root", required=True)
+    p.add_argument("--label-root", required=True)
+    p.add_argument("--pred-root", required=True)
+    p.add_argument("--out-json", default="cluster.json")
+    p.set_defaults(fn=cmd_cluster_eval)
 
     args = ap.parse_args(argv)
     args.fn(args)
