@@ -300,6 +300,70 @@ def neus_render(params, cfg: NeuSConfig, rays_o, rays_d, near, far, radius,
     }
 
 
+def neus_occlusion(params, cfg: NeuSConfig, rays_o, rays_d, near, far,
+                   radius, cos_anneal_ratio=1.0):
+    """weight_sum only — the light-visibility shadow pass (gen_geo
+    compute_vis) needs neither the color network nor the feature vector,
+    which cuts both FLOPs and the vjp HBM temporaries that cap the
+    point batch. Sampling/alpha math identical to neus_render."""
+    batch_size = rays_o.shape[0]
+    # constant section length — compute_vis calls render() WITHOUT
+    # to_light (gen_geo.py:231-238), so sample_dist = 2 r / n
+    sample_dist = 2.0 * radius / cfg.n_samples
+
+    z_lin = jnp.linspace(0.0, 1.0, cfg.n_samples)
+    z_vals = near + (far - near) * z_lin[None, :]
+
+    n_samples = cfg.n_samples
+    if cfg.n_importance > 0:
+        pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+        sdf = fields.sdf_only(
+            params["sdf"], pts.reshape(-1, 3), cfg.sdf
+        ).reshape(batch_size, cfg.n_samples)
+        z_cur = z_vals
+        for i in range(cfg.up_sample_steps):
+            new_z = _up_sample(
+                rays_o, rays_d, z_cur, sdf, radius,
+                cfg.n_importance // cfg.up_sample_steps, 64 * 2**i)
+            z_cur, sdf = _cat_z_vals(
+                params, cfg, rays_o, rays_d, z_cur, new_z, sdf,
+                last=(i + 1 == cfg.up_sample_steps))
+        z_vals = z_cur
+        n_samples = cfg.n_samples + cfg.n_importance
+
+    dists = z_vals[..., 1:] - z_vals[..., :-1]
+    dists = jnp.concatenate(
+        [dists, jnp.full((batch_size, 1), sample_dist)], axis=-1)
+    mid_z_vals = z_vals + dists * 0.5
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * mid_z_vals[..., None]
+    dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape)
+    pts_flat = pts.reshape(-1, 3)
+
+    sdf = fields.sdf_only(params["sdf"], pts_flat, cfg.sdf)[:, None]
+    gradients = fields.sdf_gradient(params["sdf"], pts_flat, cfg.sdf)
+    inv_s = fields.inv_s_from(params["variance"])
+
+    true_cos = jnp.sum(
+        dirs.reshape(-1, 3) * gradients, axis=-1, keepdims=True)
+    iter_cos = -(
+        jax.nn.relu(-true_cos * 0.5 + 0.5) * (1.0 - cos_anneal_ratio)
+        + jax.nn.relu(-true_cos) * cos_anneal_ratio)
+    d_flat = dists.reshape(-1, 1)
+    prev_cdf = jax.nn.sigmoid((sdf - iter_cos * d_flat * 0.5) * inv_s)
+    next_cdf = jax.nn.sigmoid((sdf + iter_cos * d_flat * 0.5) * inv_s)
+    alpha = jnp.clip(
+        ((prev_cdf - next_cdf + 1e-5)
+         / (prev_cdf + 1e-5)).reshape(batch_size, n_samples), 0.0, 1.0)
+    # NOTE: no inside-sphere masking here — _render_core only masks alpha
+    # when a background model is present (renderer.py:256-261), and the
+    # reference's compute_vis renders without one.
+    trans = jnp.cumprod(
+        jnp.concatenate(
+            [jnp.ones((batch_size, 1), alpha.dtype),
+             1.0 - alpha + 1e-7], axis=-1), axis=-1)[:, :-1]
+    return jnp.sum(alpha * trans, axis=-1, keepdims=True)
+
+
 def _render_bg(params, cfg: NeuSConfig, rays_o, rays_d, z_vals, sample_dist):
     """Background NeRF rendering (renderer.py:93-129)."""
     batch_size, n_samples = z_vals.shape

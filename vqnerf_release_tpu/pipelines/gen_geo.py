@@ -62,7 +62,8 @@ def check_finished(view_dir, with_lvis=True):
 class GeoExtractor:
     def __init__(self, params, cfg: NeuSConfig, dataset, scene_out_dir,
                  use_white_bkgd=True, batch_size=4096, light_h=16,
-                 vis_point_batch=64, alpha_thres_val=0.5):
+                 vis_point_batch=64, alpha_thres_val=0.5,
+                 light_tile=None):
         self.params = params
         self.cfg = cfg
         self.dataset = dataset
@@ -74,6 +75,13 @@ class GeoExtractor:
         lxyz, _ = gen_light_xyz(light_h, 2 * light_h)
         self.lxyz = jnp.asarray(lxyz.reshape(-1, 3), jnp.float32)
         self.n_lights = self.lxyz.shape[0]
+        # tile the light axis so each scan step is a bounded ray batch
+        if light_tile is None:
+            light_tile = min(self.n_lights, max(
+                1, 8192 // max(vis_point_batch, 1)))
+        while self.n_lights % light_tile:
+            light_tile -= 1
+        self.light_tile = light_tile
         self.radius = float(dataset.max_radius)
 
         bg = jnp.ones((1, 3)) if use_white_bkgd else None
@@ -99,7 +107,14 @@ class GeoExtractor:
 
         @jax.jit
         def _vis_batch(params, surf, normal):
-            """[B] surface points x all L lights -> [B, L] visibility."""
+            """[B] surface points x all L lights -> [B, L] visibility.
+
+            Occlusion-only render (no color net / feature), with a
+            lax.scan over light tiles so HBM peak is one tile's
+            activations regardless of B — one dispatch instead of the
+            reference's 512 sequential lpix_chunk=1 renders.
+            """
+            from ..models.neus import neus_occlusion
             b = surf.shape[0]
             surf2l = self.lxyz[None, :, :] - surf[:, None, :]  # [B, L, 3]
             surf2l = surf2l / jnp.linalg.norm(
@@ -107,14 +122,24 @@ class GeoExtractor:
             lcos = jnp.einsum("blk,bk->bl", surf2l, normal)
             front_lit = (lcos > 0).astype(jnp.float32)
 
-            o = jnp.repeat(surf, self.n_lights, axis=0)  # [B*L, 3]
-            d = surf2l.reshape(-1, 3)
-            far = intersect_sphere_far(o, d, self.radius)
-            near = jnp.minimum(jnp.full_like(far, 0.1), far / 2.0)
-            out = neus_render(
-                params, cfg, o, d, near, far, self.radius, key=None,
-                cos_anneal_ratio=1.0, background_rgb=bg)
-            occu = out["weight_sum"].reshape(b, self.n_lights)
+            tile = self.light_tile
+            n_tiles = self.n_lights // tile
+            # [T, B*tile, 3] light-tile chunks
+            d_tiles = surf2l.reshape(b, n_tiles, tile, 3).transpose(
+                1, 0, 2, 3).reshape(n_tiles, b * tile, 3)
+            o_rep = jnp.repeat(surf, tile, axis=0)  # [B*tile, 3]
+
+            def body(_, d_chunk):
+                far = intersect_sphere_far(o_rep, d_chunk, self.radius)
+                near = jnp.minimum(
+                    jnp.full_like(far, 0.1), far / 2.0)
+                occ = neus_occlusion(
+                    params, cfg, o_rep, d_chunk, near, far, self.radius,
+                    cos_anneal_ratio=1.0)
+                return None, occ.reshape(b, tile)
+
+            _, occ_tiles = jax.lax.scan(body, None, d_tiles)
+            occu = occ_tiles.transpose(1, 0, 2).reshape(b, self.n_lights)
             return front_lit * (1.0 - occu)
 
         self._vis_batch = _vis_batch
