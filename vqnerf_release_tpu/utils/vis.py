@@ -17,8 +17,20 @@ import numpy as np
 
 from ..data import io as vio
 from ..eval.metrics import psnr as psnr_fn
+from ..eval.metrics import psnr_luma as psnr_luma_fn
 
-__all__ = ["EMBED_COLORS", "vis_embed_map", "vis_view"]
+__all__ = ["EMBED_COLORS", "vis_embed_map", "vis_view", "make_anim"]
+
+
+def make_anim(frames, outpath, duration=1000):
+    """Animated PNG flipbook (xiuminglib vis/anim.py make_anim): the
+    pred-vs-gt .apng comparisons of the validation writers."""
+    from PIL import Image
+    imgs = [Image.fromarray(np.asarray(f)) for f in frames]
+    os.makedirs(os.path.dirname(str(outpath)) or ".", exist_ok=True)
+    imgs[0].save(str(outpath), save_all=True, append_images=imgs[1:],
+                 duration=duration, loop=0, default_image=False)
+    return str(outpath)
 
 EMBED_COLORS = np.array([
     [255, 0, 0], [0, 255, 0], [0, 0, 255],
@@ -108,5 +120,10 @@ def vis_view(to_vis, hw, outdir, view_id, white_bg=True, mode="test",
     if mode not in ("test", "render") and "gt_rgb" in img_dict \
             and "pred_rgb" in img_dict:
         metadata["psnr"] = psnr_fn(img_dict["gt_rgb"], img_dict["pred_rgb"])
+        metadata["psnr_luma"] = psnr_luma_fn(
+            img_dict["gt_rgb"], img_dict["pred_rgb"])
+        # pred-vs-gt flipbook (nfr_unit vis_batch writes .apng comparisons)
+        make_anim([img_dict["gt_rgb"], img_dict["pred_rgb"]],
+                  join(outdir, "pred-vs-gt_rgb.apng"))
     vio.write_json(metadata, join(outdir, "metadata.json"))
     return img_dict
