@@ -25,21 +25,6 @@ import numpy as np
 
 from ..data.sampler import build_vq_eval_set
 from ..data.sampler import outer_sample as _outer_sample_np
-
-
-def outer_sample(view, n_rays, rng, jitter_mode="random", alpha_thres=0.9):
-    """Dispatch to the native sampler (native/fastloader) when built and
-    enabled via VQNERF_NATIVE_SAMPLER=1; numpy otherwise. The two produce
-    identical contracts but different RNG streams."""
-    import os as _os
-    if _os.environ.get("VQNERF_NATIVE_SAMPLER") == "1":
-        from ..data import native as _native
-        if _native.native_available():
-            return _native.outer_sample_native(
-                view, n_rays, seed=int(rng.randint(0, 2**31 - 1)),
-                jitter_mode=jitter_mode, alpha_thres=alpha_thres)
-    return _outer_sample_np(view, n_rays, rng, jitter_mode=jitter_mode,
-                            alpha_thres=alpha_thres)
 from ..models import decomp_common as dc
 from ..models.nfr_unit import nfr_unit_forward, nfr_unit_loss
 from ..models.ref_nfr import ref_nfr_forward, ref_nfr_loss
@@ -54,6 +39,20 @@ from . import decomp_trainer as dt
 
 __all__ = ["train_nfr_unit", "train_vq_nfr", "train_ref_nfr",
            "save_metas", "elbow_select"]
+
+
+def outer_sample(view, n_rays, rng, jitter_mode="random", alpha_thres=0.9):
+    """Dispatch to the native sampler (native/fastloader) when built and
+    enabled via VQNERF_NATIVE_SAMPLER=1; numpy otherwise. The two produce
+    identical contracts but different RNG streams."""
+    if os.environ.get("VQNERF_NATIVE_SAMPLER") == "1":
+        from ..data import native as _native
+        if _native.native_available():
+            return _native.outer_sample_native(
+                view, n_rays, seed=int(rng.randint(0, 2**31 - 1)),
+                jitter_mode=jitter_mode, alpha_thres=alpha_thres)
+    return _outer_sample_np(view, n_rays, rng, jitter_mode=jitter_mode,
+                            alpha_thres=alpha_thres)
 
 
 def _epoch_dir(outdir, epoch):
@@ -132,19 +131,6 @@ def _device_batch(batch):
         }
     sharded, _ = shard_batch(batch, mesh, pad=False)
     return sharded
-
-
-def _vali_pass(forward_vali, views, outdir_fmt, cfg, extra_vis=None):
-    """Run full-image validation over views, writing per-batch vis dirs."""
-    for b_i, view in enumerate(views):
-        pred, psnr_ready = forward_vali(view)
-        vis = {"pred_" + k: v for k, v in pred.items()}
-        vis["gt_rgb"] = view.rgb
-        vis["gt_alpha"] = view.alpha
-        if extra_vis:
-            vis.update(extra_vis)
-        vis_view(vis, (view.h, view.w), outdir_fmt.format(b=b_i), view.id,
-                 white_bg=cfg.white_bg, mode="vali")
 
 
 def train_nfr_unit(cfg: dc.DecompConfig, train_views, vali_views, outdir,
