@@ -275,7 +275,8 @@ def vq_nfr_loss(params, aux, cfg: dc.DecompConfig, mode="train"):
 def vq_fast_render(params, batch, cfg: dc.DecompConfig, lxyz, lareas,
                    novel_probes=None, novel_olat=None, opt_scale=None,
                    edit_mask=None, edit_material=None, dst_env=None,
-                   gen_embed=False, thres=None, rng=None):
+                   gen_embed=False, thres=None, rng=None,
+                   vis_scale=False):
     """Inference render (vq_nfr.py:262-398): continuous heads, optional
     material edit, optional albedo scale, simultaneous probe/OLAT relight.
 
@@ -307,7 +308,9 @@ def vq_fast_render(params, batch, cfg: dc.DecompConfig, lxyz, lareas,
         spec = upd(spec, edit_material["spec"])
         rough = upd(rough, edit_material["rough"])
 
-    if opt_scale is not None:
+    # vis_scale (vq_nfr.py:332-335, 361-365): render UNSCALED, but emit
+    # sRGB-encoded-then-scaled basecolor/spec maps (the pd_test pass).
+    if opt_scale is not None and not vis_scale:
         s_albedo, s_spec = albedo * opt_scale, spec * opt_scale
     else:
         s_albedo, s_spec = albedo, spec
@@ -319,6 +322,10 @@ def vq_fast_render(params, batch, cfg: dc.DecompConfig, lxyz, lareas,
     gamma = None if cfg.is_nerf else dc.get_gamma(params)
     rgb_pred = render_equation(
         brdf, surf2l, normal_pred, lareas, light, light_vis=lvis, gamma=gamma)
+
+    if opt_scale is not None and vis_scale:
+        basecolor = linear2srgb(basecolor) * opt_scale
+        spec = linear2srgb(spec) * opt_scale
 
     m = mask[:, None]
     pred = {
