@@ -1,3 +1,4 @@
+import sys; sys.path.insert(0, '/root/repo')
 import os, json, numpy as np, glob
 from os.path import join
 root = "/tmp/vqnerf_smoke2"
