@@ -93,17 +93,17 @@ def _up_sample(rays_o, rays_d, z_vals, sdf, r_limit, n_importance, inv_s):
 
 
 def _cat_z_vals(params, cfg, rays_o, rays_d, z_vals, new_z_vals, sdf,
-                last=False):
+                last=False, sdf_fn=None):
     """Merge-and-sort new samples, carrying SDF values (renderer.py:177-191)."""
+    if sdf_fn is None:
+        sdf_fn = lambda pts: fields.sdf_only(params["sdf"], pts, cfg.sdf)
     pts = rays_o[:, None, :] + rays_d[:, None, :] * new_z_vals[..., None]
     z_all = jnp.concatenate([z_vals, new_z_vals], axis=-1)
     order = jnp.argsort(z_all, axis=-1)
     z_sorted = jnp.take_along_axis(z_all, order, axis=-1)
     if last:
         return z_sorted, None
-    new_sdf = fields.sdf_only(
-        params["sdf"], pts.reshape(-1, 3), cfg.sdf
-    ).reshape(new_z_vals.shape)
+    new_sdf = sdf_fn(pts.reshape(-1, 3)).reshape(new_z_vals.shape)
     sdf_all = jnp.concatenate([sdf, new_sdf], axis=-1)
     sdf_sorted = jnp.take_along_axis(sdf_all, order, axis=-1)
     return z_sorted, sdf_sorted
@@ -301,7 +301,7 @@ def neus_render(params, cfg: NeuSConfig, rays_o, rays_d, near, far, radius,
 
 
 def neus_occlusion(params, cfg: NeuSConfig, rays_o, rays_d, near, far,
-                   radius, cos_anneal_ratio=1.0):
+                   radius, cos_anneal_ratio=1.0, use_pallas=False):
     """weight_sum only — the light-visibility shadow pass (gen_geo
     compute_vis) needs neither the color network nor the feature vector,
     which cuts both FLOPs and the vjp HBM temporaries that cap the
@@ -311,15 +311,32 @@ def neus_occlusion(params, cfg: NeuSConfig, rays_o, rays_d, near, far,
     # to_light (gen_geo.py:231-238), so sample_dist = 2 r / n
     sample_dist = 2.0 * radius / cfg.n_samples
 
+    # fused Pallas SDF kernels (4x the jnp fwd+grad path); requires every
+    # flattened point count to be a multiple of the kernel block
+    sdf_fn = None
+    fused_fwdgrad = None
+    if use_pallas:
+        from ..ops.pallas.sdf_kernel import (BLOCK, sdf_fwd_pallas,
+                                             sdf_fwdgrad_pallas)
+        if (batch_size * cfg.n_samples) % BLOCK == 0 and \
+                (batch_size * (cfg.n_importance
+                               // max(cfg.up_sample_steps, 1))) % BLOCK \
+                == 0:
+            sdf_fn = lambda pts: sdf_fwd_pallas(
+                params["sdf"], pts, cfg.sdf)
+            fused_fwdgrad = lambda pts: sdf_fwdgrad_pallas(
+                params["sdf"], pts, cfg.sdf)
+
     z_lin = jnp.linspace(0.0, 1.0, cfg.n_samples)
     z_vals = near + (far - near) * z_lin[None, :]
 
     n_samples = cfg.n_samples
     if cfg.n_importance > 0:
         pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
-        sdf = fields.sdf_only(
-            params["sdf"], pts.reshape(-1, 3), cfg.sdf
-        ).reshape(batch_size, cfg.n_samples)
+        _sdf_eval = sdf_fn or (
+            lambda p: fields.sdf_only(params["sdf"], p, cfg.sdf))
+        sdf = _sdf_eval(pts.reshape(-1, 3)).reshape(
+            batch_size, cfg.n_samples)
         z_cur = z_vals
         for i in range(cfg.up_sample_steps):
             new_z = _up_sample(
@@ -327,7 +344,7 @@ def neus_occlusion(params, cfg: NeuSConfig, rays_o, rays_d, near, far,
                 cfg.n_importance // cfg.up_sample_steps, 64 * 2**i)
             z_cur, sdf = _cat_z_vals(
                 params, cfg, rays_o, rays_d, z_cur, new_z, sdf,
-                last=(i + 1 == cfg.up_sample_steps))
+                last=(i + 1 == cfg.up_sample_steps), sdf_fn=sdf_fn)
         z_vals = z_cur
         n_samples = cfg.n_samples + cfg.n_importance
 
@@ -339,8 +356,12 @@ def neus_occlusion(params, cfg: NeuSConfig, rays_o, rays_d, near, far,
     dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape)
     pts_flat = pts.reshape(-1, 3)
 
-    sdf = fields.sdf_only(params["sdf"], pts_flat, cfg.sdf)[:, None]
-    gradients = fields.sdf_gradient(params["sdf"], pts_flat, cfg.sdf)
+    if fused_fwdgrad is not None:
+        sdf_v, gradients = fused_fwdgrad(pts_flat)
+        sdf = sdf_v[:, None]
+    else:
+        sdf = fields.sdf_only(params["sdf"], pts_flat, cfg.sdf)[:, None]
+        gradients = fields.sdf_gradient(params["sdf"], pts_flat, cfg.sdf)
     inv_s = fields.inv_s_from(params["variance"])
 
     true_cos = jnp.sum(

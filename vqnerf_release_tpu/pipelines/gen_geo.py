@@ -63,7 +63,7 @@ class GeoExtractor:
     def __init__(self, params, cfg: NeuSConfig, dataset, scene_out_dir,
                  use_white_bkgd=True, batch_size=4096, light_h=16,
                  vis_point_batch=64, alpha_thres_val=0.5,
-                 light_tile=None):
+                 light_tile=None, use_pallas=False):
         self.params = params
         self.cfg = cfg
         self.dataset = dataset
@@ -135,7 +135,7 @@ class GeoExtractor:
                     jnp.full_like(far, 0.1), far / 2.0)
                 occ = neus_occlusion(
                     params, cfg, o_rep, d_chunk, near, far, self.radius,
-                    cos_anneal_ratio=1.0)
+                    cos_anneal_ratio=1.0, use_pallas=use_pallas)
                 return None, occ.reshape(b, tile)
 
             _, occ_tiles = jax.lax.scan(body, None, d_tiles)
