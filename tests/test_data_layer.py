@@ -202,3 +202,32 @@ def test_shape_dataset_val_and_test_modes(tmp_path):
     ds_test = ShapeDataset(data_root, surf_root, imh=16, mode="test")
     t = ds_test.load_view(ds_test.files[0])
     np.testing.assert_allclose(t.alpha, t.pred_alpha)
+
+
+def test_ndc_rays_properties():
+    # rays through the image center stay at the NDC origin axis; all
+    # warped rays have z-components mapping [near, inf) -> [-1, 1)
+    h, w, focal = 8, 8, 10.0
+    rays_o = np.tile([[0.0, 0.0, 0.0]], (4, 1))
+    rays_d = np.array([
+        [0.0, 0.0, -1.0],
+        [0.1, 0.0, -1.0],
+        [0.0, 0.1, -1.0],
+        [0.05, -0.05, -1.0]])
+    o_ndc, d_ndc = vrays.ndc_rays(h, w, focal, 1.0, rays_o, rays_d)
+    # center ray: origin x/y = 0
+    np.testing.assert_allclose(o_ndc[0, :2], 0.0, atol=1e-6)
+    # at t=0 (near plane) o2 = -1; at t->inf o2 + d2 -> 1
+    np.testing.assert_allclose(o_ndc[:, 2], -1.0, atol=1e-6)
+    np.testing.assert_allclose(o_ndc[:, 2] + d_ndc[:, 2], 1.0, atol=1e-6)
+
+
+def test_nerf_rays_dataset(tmp_path):
+    from vqnerf_release_tpu.data.nerf_rays_dataset import NerfRaysDataset
+    data_root, _ = _make_synth_scene(str(tmp_path))
+    ds = NerfRaysDataset(data_root, mode="train", imh=16)
+    assert len(ds) == 3
+    v = ds.load_view(ds.files[0])
+    assert v["rayo"].shape == (256, 3)
+    assert v["rgb"].shape == (256, 3)
+    assert np.isfinite(v["rayd"]).all()
