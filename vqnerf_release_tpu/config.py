@@ -25,7 +25,7 @@ __all__ = [
     "SCENE_FAMILY", "CG_SCENES", "scene_family",
     "decomp_config_for_scene", "neus_configs_for_scene",
     "load_ini", "decomp_config_from_ini", "apply_overrides",
-    "surf_dir", "train_outdir",
+    "surf_dir", "train_outdir", "rewrite_ini_paths",
 ]
 
 # scene -> dataset family (helpers.py + scripts/train.sh dispatch)
@@ -177,3 +177,15 @@ def decomp_config_from_ini(path, override_str=""):
             field, conv = ini_key, spec
         kw[field] = conv(raw[ini_key])
     return DecompConfig(**kw), raw
+
+
+def rewrite_ini_paths(ini_path, old_prefix, new_prefix, out_path=None):
+    """Rewrite absolute path prefixes inside a dumped config INI
+    (correct_config.py: pretrained outputs carry the original author's
+    absolute paths; this points them at the local checkout)."""
+    with open(ini_path) as f:
+        text = f.read()
+    text = text.replace(old_prefix, new_prefix)
+    with open(out_path or ini_path, "w") as f:
+        f.write(text)
+    return out_path or ini_path
