@@ -245,3 +245,27 @@ def test_ref_fast_render_scale_only_affects_relight():
     assert np.abs(
         np.asarray(p1["rgb_probes"]) - np.asarray(p2["rgb_probes"])
     ).max() > 1e-4
+
+
+def test_shape_refine_model():
+    from vqnerf_release_tpu.models.shape_refine import (
+        init_shape_refine, shape_refine_forward, shape_refine_loss)
+    cfg = CFG
+    params = init_shape_refine(0, cfg)
+    batch = _batch(cfg)
+    pred = shape_refine_forward(params, batch, cfg)
+    assert pred["normal"].shape == (32, 3)
+    # fg normals unit, bg zero
+    norms = np.linalg.norm(np.asarray(pred["normal"]), axis=1)
+    assert np.allclose(norms[:-4], 1.0, atol=1e-4)
+    assert np.allclose(norms[-4:], 0.0)
+    loss = shape_refine_loss(pred, batch, cfg)
+    assert np.isfinite(float(loss))
+
+    def f(p):
+        out = shape_refine_forward(p, batch, cfg)
+        return shape_refine_loss(out, batch, cfg)
+
+    g = jax.grad(f)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
