@@ -178,8 +178,11 @@ class GeoExtractor:
         surf = out["surf"].reshape(h, w, 3)
 
         normal = out["normal"]
-        normal = normal / np.maximum(
-            np.sqrt(np.sum(normal**2, axis=-1, keepdims=True)), 1e-12)
+        # zero-norm guard: fill with 1/sqrt(3) like dtu_geo's _np_norm
+        # (dtu_runner.py:402) instead of NaN-ing on empty rays
+        r = np.sqrt(np.sum(normal**2, axis=-1, keepdims=True))
+        normal = np.where(r == 0, np.sqrt(1.0 / 3.0), normal / np.maximum(
+            r, 1e-12))
         # camera-facing correction (gen_geo.py:359-365)
         surf2c = rays_o.reshape(-1, 3) - out["surf"]
         surf2c = surf2c / np.maximum(
