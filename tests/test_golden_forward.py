@@ -152,3 +152,138 @@ def test_nfr_unit_full_forward_golden():
     from vqnerf_release_tpu.models.nfr_unit import nfr_unit_loss
     loss, _ = nfr_unit_loss(aux, cfg)
     np.testing.assert_allclose(float(loss), expected_loss, rtol=2e-3)
+
+
+def test_vq_nfr_full_forward_and_losses_golden():
+    """vq_nfr train forward + all loss terms re-derived in numpy
+    (vq_nfr.py:534-692, 876-986) with shared weights; thres=None so the
+    assignment is deterministic."""
+    import jax
+
+    from vqnerf_release_tpu.models.vq_nfr import (init_vq_nfr,
+                                                  vq_nfr_forward,
+                                                  vq_nfr_loss)
+    from vqnerf_release_tpu.ops.vq import init_vq_ema_state
+
+    cfg = CFG
+    rs = np.random.RandomState(1)
+    nfr_params = init_nfr_unit(0, cfg)
+    centers = rs.rand(cfg.num_embed, cfg.z_dim).astype(np.float32)
+    params, ema = init_vq_nfr(0, cfg, nfr_params, centers)
+
+    from vqnerf_release_tpu.ops.light import gen_light_xyz
+    lxyz_np, lareas_np = gen_light_xyz(*cfg.light_res)
+    lxyz = lxyz_np.reshape(-1, 3)
+    lareas = lareas_np.reshape(-1)
+
+    n = 16  # 8 jitter pairs
+    xyz = (rs.rand(n, 3) - 0.5).astype(np.float32)
+    normal = _np_norm(rs.randn(n, 3), 1).astype(np.float32)
+    rayo = np.tile([[0, 0, 3.0]], (n, 1)).astype(np.float32)
+    lvis = rs.rand(n, cfg.n_lights).astype(np.float32)
+    rgb_gt = rs.rand(n, 3).astype(np.float32)
+    alpha = np.ones((n, 1), np.float32)
+
+    batch = {k: jnp.asarray(v) for k, v in dict(
+        rayo=rayo, rayd=rayo, rgb=rgb_gt, alpha=alpha,
+        pred_alpha=alpha, xyz=xyz, normal=normal, lvis=lvis).items()}
+    from vqnerf_release_tpu.models.decomp_common import light_constants
+    lx, la = light_constants(cfg)
+    pred, aux, new_ema = vq_nfr_forward(
+        params, ema, batch, cfg, lx, la, mode="train", thres=None)
+    loss, ld = vq_nfr_loss(params, aux, cfg, mode="train")
+
+    # ---- numpy
+    def mlp(ps, x, acts, skip=()):
+        return _np_mlp([{k: np.asarray(v) for k, v in p.items()}
+                        for p in ps], x, acts, skip_at=skip)
+
+    surf2c = _np_norm(rayo - xyz, 1)
+    surf2l = _np_norm(lxyz[None] - xyz[:, None], 2)
+    cosc = np.sum(normal * surf2c, -1, keepdims=True)
+    normal_c = np.where(cosc >= 0, normal, -normal)
+
+    z = _np_posenc(xyz, cfg.n_freqs_xyz)
+    z = mlp(params["fine_enc"], z, ["relu"] * 4, skip=(2,))
+    z_enc = mlp(params["bottleneck"], z, [None, "relu", "sigmoid"])
+    z_norm = _np_norm(z_enc, 1)
+
+    # codebook: clip[0,1] + column L2 norm (vq_nfr.py:761-769)
+    cb = np.clip(np.asarray(params["codebook"]), 0, 1)
+    cb = cb / np.sqrt(np.maximum((cb**2).sum(0, keepdims=True), 1e-6))
+    dist = ((z_norm**2).sum(1, keepdims=True) - 2 * z_norm @ cb
+            + (cb**2).sum(0, keepdims=True))
+    idx = dist.argmin(1)
+    quant = cb.T[idx]
+    e_latent = ((quant - z_norm) ** 2).mean()
+    vq_loss = cfg.commitment_cost * e_latent
+    z_vq = z_norm + (quant - z_norm)  # straight-through primal == quant
+    np.testing.assert_allclose(float(aux["vq_loss"]), vq_loss, rtol=1e-4)
+
+    basecolor = mlp(params["diff_main"], z_enc,
+                    ["relu", "relu", "sigmoid"], skip=(1,))
+    ks = mlp(params["spec_main"], z_enc,
+             ["relu", "relu", "sigmoid"], skip=(1,))
+    rough = mlp(params["rough_main"], z_enc,
+                ["relu", "relu", "sigmoid"], skip=(1,))
+    spec = ks * basecolor
+    albedo = (1 - ks) * basecolor
+
+    vq_albedo = mlp(params["diff_vq"], z_vq,
+                    ["relu", "relu", "sigmoid"], skip=(1,))
+    vq_spec = mlp(params["spec_vq"], z_vq,
+                  ["relu", "relu", "sigmoid"], skip=(1,))
+    vq_rough = mlp(params["rough_vq"], z_vq,
+                   ["relu", "relu", "sigmoid"], skip=(1,))
+
+    light = np.clip(np.asarray(params["light"]), 0, np.inf).reshape(-1, 3)
+    cos = np.einsum("nlk,nk->nl", surf2l, normal_c)
+    front = (cos > 0).astype(np.float32)
+    w = (front * lvis * cos)[..., None] * lareas.reshape(1, -1, 1)
+
+    rgb_lin = np.clip((_np_brdf(surf2l, surf2c, normal_c, albedo, rough,
+                                spec) * w * light[None]).sum(1), 0, 1)
+    vq_lin = np.clip((_np_brdf(surf2l, surf2c, normal_c, vq_albedo,
+                               vq_rough, vq_spec) * w * light[None]
+                      ).sum(1), 0, 1)
+    np.testing.assert_allclose(
+        np.asarray(aux["rgb_pred_linear"]), rgb_lin, rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(aux["vq_rgb_linear"]), vq_lin, rtol=5e-3, atol=5e-4)
+
+    # ---- losses (vq_nfr.py:876-986)
+    lin_gt = np.where(rgb_gt <= 0.04045, rgb_gt / 12.92,
+                      ((rgb_gt + 0.055) / 1.055) ** 2.4)
+    exp = {}
+    exp["rgb"] = cfg.combine_weight * np.mean((lin_gt - rgb_lin) ** 2)
+    exp["vqrgb"] = np.mean((lin_gt - vq_lin) ** 2)
+    exp["vqloss"] = cfg.vq_loss_weight * vq_loss
+
+    def chroma(v):
+        d = np.sqrt((v**2).sum(-1, keepdims=True))
+        return np.where(d == 0, 0, v / np.where(d == 0, 1, d))
+
+    exp["chromaticity"] = cfg.chromaticity_loss_weight * np.mean(
+        (chroma(lin_gt) - chroma(vq_lin)) ** 2)
+
+    schr = chroma(rgb_gt)
+    chr_e = np.sqrt(((schr[::2] - schr[1::2]) ** 2).sum(-1))
+    chr_e = np.where(chr_e > cfg.chr_thres, chr_e, 0.0)
+    w_chr = np.exp(-cfg.chr_alpha * chr_e)
+    pair = w_chr * (1 - (z_vq[::2] * z_vq[1::2]).sum(-1))
+    exp["chr_smooth"] = cfg.mat_sloss_weight * pair.mean()
+
+    cbt = cb.T
+    d2 = np.sqrt((((cbt[:, None] - cbt[None]) ** 2).sum(-1)) + 1e-12)
+    eye = np.eye(cfg.num_embed)
+    masked = d2 * (1 - eye) + eye * d2.max()
+    exp["sim_smooth"] = cfg.sim_loss_weight * (-np.log(masked.min()))
+
+    sg = np.where(rough < 0.5, 0.0, 2 * rough - 1)
+    exp["lambert"] = cfg.lambert_weight * np.mean(
+        spec.max(-1) * sg[:, 0])
+
+    for k, v in exp.items():
+        np.testing.assert_allclose(
+            float(ld[k]), v, rtol=5e-3, atol=1e-6,
+            err_msg=f"loss term {k}")
