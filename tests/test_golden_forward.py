@@ -287,3 +287,90 @@ def test_vq_nfr_full_forward_and_losses_golden():
         np.testing.assert_allclose(
             float(ld[k]), v, rtol=5e-3, atol=1e-6,
             err_msg=f"loss term {k}")
+
+
+def test_ref_nfr_full_forward_golden():
+    """ref_nfr forward re-derived in numpy (ref_nfr.py:176-300): frozen
+    encoder ks path, rgb_enc on the ref buffer, concat(z_xyz, z_ref)
+    heads, frozen-light render, plain linear MSE loss."""
+    from vqnerf_release_tpu.models.nfr_unit import init_nfr_unit
+    from vqnerf_release_tpu.models.ref_nfr import (init_ref_nfr,
+                                                   ref_nfr_forward,
+                                                   ref_nfr_loss)
+    from vqnerf_release_tpu.models.vq_nfr import init_vq_nfr
+
+    cfg = CFG
+    rs = np.random.RandomState(2)
+    nfr_params = init_nfr_unit(0, cfg)
+    vq_params, _ = init_vq_nfr(
+        0, cfg, nfr_params,
+        rs.rand(cfg.num_embed, cfg.z_dim).astype(np.float32))
+    light_np = rs.rand(*cfg.light_res, 3).astype(np.float32)
+    params = init_ref_nfr(0, cfg, vq_params, light_np)
+
+    from vqnerf_release_tpu.ops.light import gen_light_xyz
+    lxyz_np, lareas_np = gen_light_xyz(*cfg.light_res)
+    lxyz = lxyz_np.reshape(-1, 3)
+    lareas = lareas_np.reshape(-1)
+
+    n = 16
+    xyz = (rs.rand(n, 3) - 0.5).astype(np.float32)
+    normal = _np_norm(rs.randn(n, 3), 1).astype(np.float32)
+    rayo = np.tile([[0, 0, 3.0]], (n, 1)).astype(np.float32)
+    lvis = rs.rand(n, cfg.n_lights).astype(np.float32)
+    rgb_gt = rs.rand(n, 3).astype(np.float32)
+    ref = rs.rand(n, 3).astype(np.float32)
+    alpha = np.ones((n, 1), np.float32)
+
+    batch = {k: jnp.asarray(v) for k, v in dict(
+        rayo=rayo, rayd=rayo, rgb=rgb_gt, alpha=alpha, pred_alpha=alpha,
+        xyz=xyz, normal=normal, lvis=lvis, ref=ref).items()}
+    from vqnerf_release_tpu.models.decomp_common import light_constants
+    lx, la = light_constants(cfg)
+    pred, aux = ref_nfr_forward(params, batch, cfg, lx, la, mode="vali")
+
+    def mlp(ps, x, acts, skip=()):
+        return _np_mlp([{k: np.asarray(v) for k, v in p.items()}
+                        for p in ps], x, acts, skip_at=skip)
+
+    frozen = params["frozen"]
+    train = params["train"]
+    surf2c = _np_norm(rayo - xyz, 1)
+    surf2l = _np_norm(lxyz[None] - xyz[:, None], 2)
+    cosc = np.sum(normal * surf2c, -1, keepdims=True)
+    normal_c = np.where(cosc >= 0, normal, -normal)
+
+    z = _np_posenc(xyz, cfg.n_freqs_xyz)
+    z = mlp(frozen["fine_enc"], z, ["relu"] * 4, skip=(2,))
+    z_xyz = mlp(frozen["bottleneck"], z, [None, "relu", "sigmoid"])
+    ks = mlp(frozen["spec_out"], z_xyz,
+             ["relu", "relu", "sigmoid"], skip=(1,))
+    z_ref = mlp(train["rgb_enc"], ref, [None, "relu", "sigmoid"])
+    z_bias = np.concatenate([z_xyz, z_ref], axis=-1)
+    basecolor = mlp(train["diff_out"], z_bias,
+                    ["relu", "relu", "sigmoid"], skip=(1,))
+    rough = mlp(train["rough_out"], z_bias,
+                ["relu", "relu", "sigmoid"], skip=(1,))
+    spec = ks * basecolor
+    albedo = (1 - ks) * basecolor
+
+    cos = np.einsum("nlk,nk->nl", surf2l, normal_c)
+    front = (cos > 0).astype(np.float32)
+    w = (front * lvis * cos)[..., None] * lareas.reshape(1, -1, 1)
+    rgb_lin = np.clip(
+        (_np_brdf(surf2l, surf2c, normal_c, albedo, rough, spec) * w
+         * light_np.reshape(-1, 3)[None]).sum(1), 0, 1)
+
+    np.testing.assert_allclose(
+        np.asarray(pred["ks"]), ks, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(pred["basecolor"]), basecolor, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(pred["rgb"]), _np_linear2srgb(rgb_lin), rtol=5e-3,
+        atol=5e-4)
+
+    lin_gt = np.where(rgb_gt <= 0.04045, rgb_gt / 12.92,
+                      ((rgb_gt + 0.055) / 1.055) ** 2.4)
+    loss, _ = ref_nfr_loss(aux, cfg)
+    np.testing.assert_allclose(
+        float(loss), np.mean((lin_gt - rgb_lin) ** 2), rtol=3e-3)
