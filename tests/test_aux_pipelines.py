@@ -218,3 +218,21 @@ def test_merl_roundtrip(tmp_path):
     np.testing.assert_allclose(td, np.pi / 4, atol=1e-6)
     vals = merl_lookup(cube, th, td, pd)
     assert vals.shape == (1, 3)
+
+
+def test_make_frame(tmp_path):
+    import cv2
+    from vqnerf_release_tpu.utils.vis import make_frame
+    d = str(tmp_path / "batch000000000")
+    os.makedirs(d)
+    rs = np.random.RandomState(0)
+    for name in ("pred_rgb", "pred_albedo", "pred_normal"):
+        cv2.imwrite(join(d, name + ".png"),
+                    (rs.rand(12, 12, 3) * 255).astype(np.uint8))
+    light = (rs.rand(4, 8, 3) * 255).astype(np.uint8)
+    frame = make_frame(d, (("normal", "nn"), ("albedo", "rgb")),
+                       rgb_embed_light=light)
+    assert frame is not None
+    assert frame.shape[0] > 24 and frame.shape[1] > 24
+    assert make_frame(str(tmp_path / "empty"),
+                      (("rgb",),)) is None

@@ -19,7 +19,8 @@ from ..data import io as vio
 from ..eval.metrics import psnr as psnr_fn
 from ..eval.metrics import psnr_luma as psnr_luma_fn
 
-__all__ = ["EMBED_COLORS", "vis_embed_map", "vis_view", "make_anim"]
+__all__ = ["EMBED_COLORS", "vis_embed_map", "vis_view", "make_anim",
+           "make_frame"]
 
 
 def make_anim(frames, outpath, duration=1000):
@@ -127,3 +128,53 @@ def vis_view(to_vis, hw, outdir, view_id, white_bg=True, mode="test",
                   join(outdir, "pred-vs-gt_rgb.apng"))
     vio.write_json(metadata, join(outdir, "metadata.json"))
     return img_dict
+
+
+def make_frame(batch_dir, layout, rgb_embed_light=None, pad=2):
+    """Compose one video frame from a batch dir's buffer PNGs arranged in a
+    (rows x cols) layout of buffer names (util/vis.py make_frame): cells
+    name files '<name>.png' or 'pred_<name>.png'; 'nn' leaves a blank cell;
+    the tonemapped light thumbnail is embedded into the rgb cell corner.
+    Returns an HxWx3 uint8 frame or None if every cell is missing."""
+    import cv2
+    cells = []
+    size = None
+    found_any = False
+    for row in layout:
+        r = []
+        for name in row:
+            img = None
+            if name != "nn":
+                for cand in (name + ".png", "pred_" + name + ".png"):
+                    path = os.path.join(batch_dir, cand)
+                    if os.path.exists(path):
+                        img = cv2.imread(path)[..., ::-1]
+                        break
+            if img is not None:
+                found_any = True
+                size = img.shape[:2]
+            r.append((name, img))
+        cells.append(r)
+    if not found_any:
+        return None
+    h, w = size
+    rows_img = []
+    for r in cells:
+        row_imgs = []
+        for name, img in r:
+            if img is None:
+                img = np.zeros((h, w, 3), np.uint8)
+            elif img.shape[:2] != (h, w):
+                img = cv2.resize(img, (w, h))
+            if name.startswith("rgb") and rgb_embed_light is not None:
+                light = np.asarray(rgb_embed_light)
+                lh, lw = light.shape[:2]
+                if lh < h and lw < w:
+                    img = img.copy()
+                    img[-lh:, :lw] = light[..., :3]
+            row_imgs.append(img)
+            row_imgs.append(np.full((h, pad, 3), 255, np.uint8))
+        rows_img.append(np.concatenate(row_imgs[:-1], axis=1))
+        rows_img.append(
+            np.full((pad, rows_img[-1].shape[1], 3), 255, np.uint8))
+    return np.concatenate(rows_img[:-1], axis=0)
