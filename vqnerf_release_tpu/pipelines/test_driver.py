@@ -162,8 +162,11 @@ def run_test(ref_params, vq_params, cfg: dc.DecompConfig, dataset, outroot,
                  (v.h, v.w), outdir, v.id, white_bg=cfg.white_bg,
                  mode="test")
         b_vq = {k: x for k, x in b.items() if k != "ref"}
+        # vis_scale=True (test.py:232): render unscaled, emit
+        # sRGB-then-scaled decomposition maps
         pred_vq = vq_fast_render(
-            vq_params, b_vq, cfg, lxyz, lareas, opt_scale=opt_scale_j)
+            vq_params, b_vq, cfg, lxyz, lareas, opt_scale=opt_scale_j,
+            vis_scale=True)
         vis_view({"pred_" + k: x for k, x in pred_vq.items()
                   if k != "rgb"},
                  (v.h, v.w), outdir, v.id, white_bg=cfg.white_bg,
