@@ -13,9 +13,13 @@ exists.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REFERENCE_RAYS_PER_SEC = 4000.0  # estimated; see BASELINE.md
 

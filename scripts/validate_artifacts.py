@@ -1,7 +1,13 @@
-import sys; sys.path.insert(0, '/root/repo')
+"""Exercise editing + video rendering on trained smoke artifacts
+(post-training integration check; see scripts/smoke_e2e.py)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 import os, json, numpy as np, glob
 from os.path import join
-root = "/tmp/vqnerf_smoke2"
+root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/vqnerf_smoke2"
 from vqnerf_release_tpu.models import decomp_common as dc
 from vqnerf_release_tpu.utils import ckpt as ckpt_util
 from vqnerf_release_tpu.data.shape_dataset import ShapeDataset
