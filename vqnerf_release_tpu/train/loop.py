@@ -59,6 +59,15 @@ def _epoch_dir(outdir, epoch):
     return join(outdir, "vis_vali", "epoch%09d" % epoch)
 
 
+def _log_scalars(outdir, epoch, scalars):
+    """Append per-epoch scalars to train_log.jsonl (the trainers' stand-in
+    for the reference's TensorBoard loss_train/batch_time summaries,
+    trainvali.py:250-255)."""
+    os.makedirs(outdir, exist_ok=True)
+    with open(join(outdir, "train_log.jsonl"), "a") as f:
+        f.write(json.dumps({"epoch": epoch, **scalars}) + "\n")
+
+
 def save_metas(outdir):
     """Aggregate per-epoch metadata.json metrics (train_nfr.py:491-510)."""
     vali_root = join(outdir, "vis_vali")
@@ -172,6 +181,7 @@ def train_nfr_unit(cfg: dc.DecompConfig, train_views, vali_views, outdir,
             step += 1
         history.append(float(np.mean([float(l) for l in losses])))
         e1 = epoch + 1
+        _log_scalars(outdir, e1, {"loss_train": history[-1]})
         if e1 % cfg_ckpt_period(cfg) == 0 or e1 == epochs:
             ckpt_util.save_ckpt(outdir, e1, {
                 "params": params, "opt_state": opt_state, "epoch": e1})
@@ -280,6 +290,9 @@ def train_vq_nfr(cfg: dc.DecompConfig, nfr_params, train_views, vali_views,
         history.append(float(np.mean([d["loss"] for d in loss_dicts])))
 
         e1 = epoch + 1
+        _log_scalars(outdir, e1, {
+            k: float(np.mean([d[k] for d in loss_dicts]))
+            for k in loss_dicts[0]})
         if e1 % cfg_ckpt_period(cfg) == 0 or e1 == epochs:
             ckpt_util.save_ckpt(outdir, e1, {
                 "params": params, "ema": ema_state,
@@ -401,6 +414,7 @@ def train_ref_nfr(cfg: dc.DecompConfig, vq_params, light, train_views,
             step += 1
         history.append(float(np.mean([float(l) for l in losses])))
         e1 = epoch + 1
+        _log_scalars(outdir, e1, {"loss_train": history[-1]})
         if e1 % cfg_ckpt_period(cfg) == 0 or e1 == epochs:
             ckpt_util.save_ckpt(outdir, e1, {
                 "params": params, "opt_state": opt_state, "epoch": e1})

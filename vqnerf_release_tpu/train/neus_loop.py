@@ -72,7 +72,10 @@ class NeuSRunner:
         return self.iter_step
 
     # -- training loop (nerf_runner.py:99-175) -----------------------------
-    def train(self, n_iters=None, log_every=0):
+    def train(self, n_iters=None, log_every=0, backup_sources=False):
+        if backup_sources:
+            from ..utils.backup import file_backup
+            file_backup(self.base_exp_dir)
         end = n_iters if n_iters is not None else self.tcfg.end_iter
         image_perm = self.rng.permutation(self.dataset.n_images)
         perm_i = self.iter_step % max(len(image_perm), 1)
