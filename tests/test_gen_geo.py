@@ -162,3 +162,33 @@ def test_buffers_feed_stage2(extracted):
     pred, aux = nfr_unit_forward(params2, batch, cfg2, lxyz, lareas,
                                  mode="vali")
     assert np.isfinite(np.asarray(pred["rgb"])).all()
+
+
+def test_extraction_sharded_over_mesh(tmp_path):
+    """gen_geo with ray batches sharded over the 8-device mesh produces
+    the same buffers as single-device."""
+    import jax
+
+    from vqnerf_release_tpu.parallel import get_mesh
+    root = str(tmp_path / "scene")
+    os.makedirs(root)
+    _make_stage1_scene(root, n_train=1, n_val=1)
+    ds = NerfSceneDataset(root, is_train=True, near=0.5, far=3.5)
+    cfg = NeuSConfig(n_samples=8, n_importance=8, up_sample_steps=2,
+                     perturb=0.0)
+    params = init_neus(0, cfg)
+
+    ex1 = GeoExtractor(params, cfg, ds, str(tmp_path / "s1"),
+                       batch_size=48, light_h=LIGHT_H, vis_point_batch=16)
+    ex1.extract_views(is_train=True, no_vis=True)
+
+    mesh = get_mesh()
+    assert mesh.devices.size == 8
+    ex8 = GeoExtractor(params, cfg, ds, str(tmp_path / "s8"),
+                       batch_size=48, light_h=LIGHT_H,
+                       vis_point_batch=16, mesh=mesh)
+    ex8.extract_views(is_train=True, no_vis=True)
+
+    a = np.load(os.path.join(str(tmp_path / "s1"), "train_000", "xyz.npy"))
+    b = np.load(os.path.join(str(tmp_path / "s8"), "train_000", "xyz.npy"))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)

@@ -63,7 +63,12 @@ class GeoExtractor:
     def __init__(self, params, cfg: NeuSConfig, dataset, scene_out_dir,
                  use_white_bkgd=True, batch_size=4096, light_h=16,
                  vis_point_batch=64, alpha_thres_val=0.5,
-                 light_tile=None, use_pallas=False):
+                 light_tile=None, use_pallas=False, mesh=None):
+        self.mesh = mesh
+        if mesh is not None:
+            # replicate params, shard ray batches over the mesh
+            from ..parallel import replicate
+            params = jax.device_put(params, replicate(mesh))
         self.params = params
         self.cfg = cfg
         self.dataset = dataset
@@ -157,9 +162,15 @@ class GeoExtractor:
                 ro = np.pad(ro, ((0, pad), (0, 0)))
                 rd = np.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
             near, far = self.dataset.near_far(ro, rd)
-            out = self._render(
-                self.params, jnp.asarray(ro), jnp.asarray(rd),
-                jnp.asarray(near), jnp.asarray(far))
+            ro_j, rd_j = jnp.asarray(ro), jnp.asarray(rd)
+            near_j, far_j = jnp.asarray(near), jnp.asarray(far)
+            if self.mesh is not None:
+                from ..parallel import batch_sharding
+                sh = batch_sharding(self.mesh)
+                ro_j, rd_j, near_j, far_j = (
+                    jax.device_put(x, sh)
+                    for x in (ro_j, rd_j, near_j, far_j))
+            out = self._render(self.params, ro_j, rd_j, near_j, far_j)
             for k in outs:
                 v = np.asarray(out[k])
                 outs[k].append(v[: bs - pad] if pad else v)
