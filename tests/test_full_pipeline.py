@@ -117,3 +117,22 @@ def test_three_phase_pipeline(tmp_path):
 
     metas = save_metas(nfr_out)
     assert len(metas["psnr"]) >= 1
+
+
+def test_native_sampler_training_path(tmp_path, monkeypatch):
+    """One epoch of nfr_unit with the native C++ sampler enabled."""
+    from vqnerf_release_tpu.data import native
+    if not native.native_available():
+        pytest.skip("libfastloader.so not built")
+    monkeypatch.setenv("VQNERF_NATIVE_SAMPLER", "1")
+    data_root, surf_root = _make_synth_scene(
+        str(tmp_path), h=16, w=16, light_h=CFG.light_h)
+    tr = ShapeDataset(data_root, surf_root, imh=16, mode="train")
+    va = ShapeDataset(data_root, surf_root, imh=16, mode="vali")
+    train_views = [tr.load_view(f) for f in tr.files]
+    vali_views = [va.load_view(f) for f in va.files][:1]
+    from dataclasses import replace
+    cfg = replace(CFG, epochs=1)
+    out = join(str(tmp_path), "out", "native_nfr", "lr5e-4")
+    params, hist = train_nfr_unit(cfg, train_views, vali_views, out)
+    assert len(hist) == 1 and np.isfinite(hist).all()
