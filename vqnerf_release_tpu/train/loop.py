@@ -120,6 +120,32 @@ def _get_mesh():
     return _MESH
 
 
+def _prefetch(iterable, depth=2):
+    """Background-thread prefetch: overlaps host-side sampling with the
+    async-dispatched TPU steps (the sampler costs ~14 ms/view native vs a
+    ~7 ms step — without overlap the chip idles half the epoch)."""
+    import queue
+    import threading
+
+    q = queue.Queue(maxsize=depth)
+    done = object()
+
+    def worker():
+        try:
+            for item in iterable:
+                q.put(item)
+        finally:
+            q.put(done)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is done:
+            break
+        yield item
+
+
 def _device_batch(batch):
     """device_put a batch with the ray axis sharded over the mesh.
     Ray counts are padded to a device multiple with alpha=0 rows (masked
@@ -170,9 +196,11 @@ def train_nfr_unit(cfg: dc.DecompConfig, train_views, vali_views, outdir,
     history = []
     for epoch in range(start_epoch, epochs):
         losses = []
-        for view in train_views:
-            batch = _device_batch(outer_sample(
+        batches = _prefetch(
+            _device_batch(outer_sample(
                 view, cfg.n_rays_per_step, rng, jitter_mode=jitter_mode))
+            for view in train_views)
+        for batch in batches:
             params, opt_state, ld = step_fn(
                 params, opt_state, batch, jnp.asarray(step, jnp.float32))
             # keep losses on device: a float() here would serialize the
@@ -276,9 +304,11 @@ def train_vq_nfr(cfg: dc.DecompConfig, nfr_params, train_views, vali_views,
     history = []
     for epoch in range(start_epoch, epochs):
         loss_dicts = []
-        for view in train_views:
-            batch = _device_batch(outer_sample(
+        batches = _prefetch(
+            _device_batch(outer_sample(
                 view, cfg.n_rays_per_step, rng, jitter_mode="random"))
+            for view in train_views)
+        for batch in batches:
             key, sub = jax.random.split(key)
             params, ema_state, opt_state, ld = step_fn(
                 params, ema_state, opt_state, batch, train_thres, sub,
@@ -405,9 +435,11 @@ def train_ref_nfr(cfg: dc.DecompConfig, vq_params, light, train_views,
     history = []
     for epoch in range(start_epoch, epochs):
         losses = []
-        for view in train_views:
-            batch = _device_batch(outer_sample(
+        batches = _prefetch(
+            _device_batch(outer_sample(
                 view, cfg.n_rays_per_step, rng, jitter_mode="contrast"))
+            for view in train_views)
+        for batch in batches:
             params, opt_state, ld = step_fn(
                 params, opt_state, batch, jnp.asarray(step, jnp.float32))
             losses.append(ld["loss"])  # device array; sync at epoch end
