@@ -129,11 +129,14 @@ def _prefetch(iterable, depth=2):
 
     q = queue.Queue(maxsize=depth)
     done = object()
+    err = []
 
     def worker():
         try:
             for item in iterable:
                 q.put(item)
+        except BaseException as e:  # propagate to the consumer
+            err.append(e)
         finally:
             q.put(done)
 
@@ -142,6 +145,8 @@ def _prefetch(iterable, depth=2):
     while True:
         item = q.get()
         if item is done:
+            if err:
+                raise err[0]
             break
         yield item
 
