@@ -218,6 +218,71 @@ def cmd_ini_train(args):
         raise NotImplementedError(model)
 
 
+def cmd_edit_server(args):
+    """Run the material-editing server over a trained scene
+    (scripts/edit.sh equivalent): polls <root>/status/status.json."""
+    from .data.shape_dataset import ShapeDataset
+    from .pipelines.edit import edit_server_loop
+    from .pipelines.test_driver import load_novel_lights
+    from .utils import ckpt as ckpt_util
+
+    cfg, _ = vcfg.decomp_config_for_scene(args.scene)
+    surf_root = args.surf_root or vcfg.surf_dir(
+        os.path.join(args.output_root, "surf"), args.scene)
+    vq_out = vcfg.train_outdir(args.output_root, args.scene, "vq_nfr")
+    ref_out = vcfg.train_outdir(args.output_root, args.scene, "ref_nfr")
+    ref_state = ckpt_util.load_ckpt(ckpt_util.latest_ckpt(ref_out))
+    vq_state = ckpt_util.load_ckpt(ckpt_util.latest_ckpt(vq_out))
+    ds = ShapeDataset(args.data_root, surf_root, data_type=cfg.data_type,
+                      imh=cfg.imh, white_bg=cfg.white_bg, mode="test",
+                      with_ref=True)
+    views = [ds.load_view(f) for f in ds.files]
+    probes = probe_names = None
+    if args.test_envmap_dir:
+        import jax.numpy as jnp
+        probe_names, probes_np, _, _ = load_novel_lights(
+            args.test_envmap_dir, cfg.light_h, white_bg=cfg.white_bg)
+        probes = jnp.asarray(probes_np)
+    print("edit server: polling", os.path.join(args.root, "status"))
+    edit_server_loop(ref_state["params"], vq_state["params"], cfg, views,
+                     args.root, novel_probes=probes,
+                     probe_names=probe_names)
+
+
+def cmd_gen_video(args):
+    """Render a video trajectory (nerfactor/gen_video.py equivalent)."""
+    import numpy as _np
+
+    from .data.shape_dataset import VideoDataset
+    from .pipelines.gen_video import compose_video, render_video
+    from .pipelines.test_driver import load_novel_lights
+    from .utils import ckpt as ckpt_util
+
+    cfg, _ = vcfg.decomp_config_for_scene(args.scene)
+    vq_out = vcfg.train_outdir(args.output_root, args.scene, "vq_nfr")
+    ref_out = vcfg.train_outdir(args.output_root, args.scene, "ref_nfr")
+    ref_state = ckpt_util.load_ckpt(ckpt_util.latest_ckpt(ref_out))
+    vq_state = ckpt_util.load_ckpt(ckpt_util.latest_ckpt(vq_out))
+    ds = VideoDataset(args.video_root, data_type=cfg.data_type,
+                      imh=cfg.imh, white_bg=cfg.white_bg)
+    views = [ds.load_view(f) for f in ds.files]
+    probes = probe_names = olats = olat_names = None
+    if args.test_envmap_dir:
+        import jax.numpy as jnp
+        probe_names, probes_np, olat_names, olats_np = load_novel_lights(
+            args.test_envmap_dir, cfg.light_h, white_bg=cfg.white_bg)
+        probes, olats = jnp.asarray(probes_np), jnp.asarray(olats_np)
+    outroot = os.path.join(ref_out, "vis_video", args.mode)
+    dirs = render_video(
+        args.mode, cfg, views, outroot, ref_params=ref_state["params"],
+        vq_params=vq_state["params"], n_vq=args.n_vq,
+        novel_probes=probes, probe_names=probe_names,
+        novel_olat=olats, olat_names=olat_names)
+    if args.mode in ("recon", "gen_comps"):
+        compose_video(dirs, "pred_rgb.png",
+                      os.path.join(outroot, "video.avi"), fps=args.fps)
+
+
 def cmd_metric_eval(args):
     from .eval.metric_eval import eval_dataset
     scores = eval_dataset(
@@ -284,6 +349,24 @@ def main(argv=None):
     p.add_argument("--config", required=True)
     p.add_argument("--config-override", default="")
     p.set_defaults(fn=cmd_ini_train)
+
+    p = sub.add_parser("edit-server")
+    _add_common(p)
+    p.add_argument("--surf-root", default=None)
+    p.add_argument("--root", required=True,
+                   help="edit workspace (status/ + edited/)")
+    p.add_argument("--test-envmap-dir", default=None)
+    p.set_defaults(fn=cmd_edit_server)
+
+    p = sub.add_parser("gen-video")
+    _add_common(p)
+    p.add_argument("--video-root", required=True)
+    p.add_argument("--mode", default="gen_comps",
+                   choices=["recon", "relight", "vq_dcomps", "gen_comps"])
+    p.add_argument("--n-vq", type=int, default=None)
+    p.add_argument("--fps", type=int, default=24)
+    p.add_argument("--test-envmap-dir", default=None)
+    p.set_defaults(fn=cmd_gen_video)
 
     p = sub.add_parser("metric-eval")
     p.add_argument("--family", required=True,

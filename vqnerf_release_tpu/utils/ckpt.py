@@ -49,6 +49,8 @@ def latest_ckpt(outdir):
 def load_ckpt(path, example_state=None):
     """Restore a pytree; with example_state, the checkpoint is restored
     INTO that structure (keeps namedtuples like optax states intact)."""
+    if path is None:
+        raise FileNotFoundError("no checkpoint found (latest_ckpt is None)")
     ckptr = ocp.PyTreeCheckpointer()
     if example_state is None:
         return ckptr.restore(os.path.abspath(path))
