@@ -26,11 +26,26 @@ def _add_common(p):
     p.add_argument("--seed", type=int, default=None)
 
 
+def _geo_cfgs(args):
+    from .models.neus import NeuSConfig
+
+    cfg, tcfg, meta = vcfg.neus_configs_for_scene(args.scene)
+    tcfg = _apply_preset_overrides(
+        tcfg, getattr(args, "geo_override", ""))
+    if getattr(args, "n_samples", 0):
+        cfg = NeuSConfig(
+            sdf=cfg.sdf, color=cfg.color,
+            n_samples=args.n_samples, n_importance=args.n_samples,
+            up_sample_steps=min(cfg.up_sample_steps, 2),
+            perturb=cfg.perturb)
+    return cfg, tcfg, meta
+
+
 def cmd_geo_train(args):
     from .data.neus_dataset import DtuSceneDataset, NerfSceneDataset
     from .train.neus_loop import NeuSRunner
 
-    cfg, tcfg, meta = vcfg.neus_configs_for_scene(args.scene)
+    cfg, tcfg, meta = _geo_cfgs(args)
     if args.end_iter:
         from dataclasses import replace
         tcfg = replace(tcfg, end_iter=args.end_iter)
@@ -55,7 +70,7 @@ def cmd_gen_geo(args):
     from .models.neus import init_neus
     from .utils import ckpt as ckpt_util
 
-    cfg, tcfg, meta = vcfg.neus_configs_for_scene(args.scene)
+    cfg, tcfg, meta = _geo_cfgs(args)
     mk = DtuSceneDataset if meta["family"] in ("dtu", "ours") \
         else NerfSceneDataset
     kwargs = {} if meta["family"] in ("dtu", "ours") else {
@@ -82,11 +97,33 @@ def cmd_gen_geo(args):
                          p_i=args.p_i, no_vis=no_vis)
 
 
+def _apply_preset_overrides(cfg, override_str):
+    """k=v,... overrides onto a frozen config dataclass (typed by field)."""
+    if not override_str:
+        return cfg
+    from dataclasses import fields, replace
+    types = {f.name: f.type for f in fields(cfg)}
+    kw = {}
+    for kv in override_str.split(","):
+        k, v = kv.split("=", 1)
+        t = types[k]
+        if t in (int, "int"):
+            kw[k] = int(v)
+        elif t in (float, "float"):
+            kw[k] = float(v)
+        elif t in (bool, "bool"):
+            kw[k] = v.lower() == "true"
+        else:
+            kw[k] = v
+    return replace(cfg, **kw)
+
+
 def cmd_decomp_train(args):
     from .data.shape_dataset import ShapeDataset
     from .train import loop
 
     cfg, light_init = vcfg.decomp_config_for_scene(args.scene)
+    cfg = _apply_preset_overrides(cfg, getattr(args, "preset_override", ""))
     if args.seed is not None:
         from dataclasses import replace
         cfg = replace(cfg, random_seed=args.seed)
@@ -151,6 +188,7 @@ def cmd_test(args):
     from .utils import ckpt as ckpt_util
 
     cfg, _ = vcfg.decomp_config_for_scene(args.scene)
+    cfg = _apply_preset_overrides(cfg, getattr(args, "preset_override", ""))
     surf_root = args.surf_root or vcfg.surf_dir(
         os.path.join(args.output_root, "surf"), args.scene)
     vq_out = vcfg.train_outdir(args.output_root, args.scene, "vq_nfr")
@@ -322,6 +360,10 @@ def main(argv=None):
     p = sub.add_parser("geo-train")
     _add_common(p)
     p.add_argument("--end-iter", type=int, default=0)
+    p.add_argument("--geo-override", default="",
+                   help="k=v,... overrides onto NeuSTrainConfig")
+    p.add_argument("--n-samples", type=int, default=0,
+                   help="shrink the sampler for smoke runs")
     p.set_defaults(fn=cmd_geo_train)
 
     p = sub.add_parser("gen-geo")
@@ -329,6 +371,8 @@ def main(argv=None):
     p.add_argument("--num-p", type=int, default=None)
     p.add_argument("--p-i", type=int, default=None)
     p.add_argument("--no-vis", action="store_true")
+    p.add_argument("--geo-override", default="")
+    p.add_argument("--n-samples", type=int, default=0)
     p.set_defaults(fn=cmd_gen_geo)
 
     p = sub.add_parser("decomp-train")
@@ -337,12 +381,15 @@ def main(argv=None):
                    choices=["all", "nfr_unit", "vq_nfr", "ref_nfr"])
     p.add_argument("--surf-root", default=None)
     p.add_argument("--epochs", type=int, default=0)
+    p.add_argument("--preset-override", default="",
+                   help="k=v,... overrides onto the family preset")
     p.set_defaults(fn=cmd_decomp_train)
 
     p = sub.add_parser("test")
     _add_common(p)
     p.add_argument("--surf-root", default=None)
     p.add_argument("--test-envmap-dir", required=True)
+    p.add_argument("--preset-override", default="")
     p.set_defaults(fn=cmd_test)
 
     p = sub.add_parser("ini-train")
