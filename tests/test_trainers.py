@@ -162,3 +162,15 @@ def test_neus_train_step_runs_and_improves():
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_ckpt_retention(tmp_path):
+    from vqnerf_release_tpu.utils import ckpt as cu
+    for step in (1, 2, 3, 4):
+        cu.save_ckpt(str(tmp_path), step, {"x": jnp.ones((2,)) * step},
+                     keep=2)
+    ckpts = cu.list_ckpts(str(tmp_path))
+    assert [c.split("-")[-1] for c in ckpts] == ["3", "4"]
+    latest = cu.latest_ckpt(str(tmp_path))
+    restored = cu.load_ckpt(latest)
+    np.testing.assert_allclose(np.asarray(restored["x"]), 4.0)

@@ -76,6 +76,7 @@ class DecompConfig:
     best_thres: float = 0.002
     random_seed: int = 2
     xyz_jitter_std: float = 0.01  # ref_nfr only
+    keep_recent_epochs: int = -1  # <=0 keeps all (trainvali.py:163-167)
 
     @property
     def light_res(self) -> Tuple[int, int]:

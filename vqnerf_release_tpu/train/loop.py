@@ -216,8 +216,11 @@ def train_nfr_unit(cfg: dc.DecompConfig, train_views, vali_views, outdir,
         e1 = epoch + 1
         _log_scalars(outdir, e1, {"loss_train": history[-1]})
         if e1 % cfg_ckpt_period(cfg) == 0 or e1 == epochs:
-            ckpt_util.save_ckpt(outdir, e1, {
-                "params": params, "opt_state": opt_state, "epoch": e1})
+            ckpt_util.save_ckpt(
+                outdir, e1,
+                {"params": params, "opt_state": opt_state, "epoch": e1},
+                keep=cfg.keep_recent_epochs
+                if cfg.keep_recent_epochs > 0 else None)
             _nfr_vali(params, cfg, lxyz, lareas, vali_views,
                       _epoch_dir(outdir, e1), outdir)
     save_metas(outdir)
@@ -329,9 +332,12 @@ def train_vq_nfr(cfg: dc.DecompConfig, nfr_params, train_views, vali_views,
             k: float(np.mean([d[k] for d in loss_dicts]))
             for k in loss_dicts[0]})
         if e1 % cfg_ckpt_period(cfg) == 0 or e1 == epochs:
-            ckpt_util.save_ckpt(outdir, e1, {
-                "params": params, "ema": ema_state,
-                "opt_state": opt_state, "epoch": e1})
+            ckpt_util.save_ckpt(
+                outdir, e1,
+                {"params": params, "ema": ema_state,
+                 "opt_state": opt_state, "epoch": e1},
+                keep=cfg.keep_recent_epochs
+                if cfg.keep_recent_epochs > 0 else None)
             main_vq = _vq_vali(
                 params, cfg, lxyz, lareas, vali_views, vq_eval,
                 val_thres_list, x_list, loss_dicts,
@@ -453,8 +459,11 @@ def train_ref_nfr(cfg: dc.DecompConfig, vq_params, light, train_views,
         e1 = epoch + 1
         _log_scalars(outdir, e1, {"loss_train": history[-1]})
         if e1 % cfg_ckpt_period(cfg) == 0 or e1 == epochs:
-            ckpt_util.save_ckpt(outdir, e1, {
-                "params": params, "opt_state": opt_state, "epoch": e1})
+            ckpt_util.save_ckpt(
+                outdir, e1,
+                {"params": params, "opt_state": opt_state, "epoch": e1},
+                keep=cfg.keep_recent_epochs
+                if cfg.keep_recent_epochs > 0 else None)
             epoch_dir = _epoch_dir(outdir, e1)
             for b_i, view in enumerate(vali_views):
                 batch = _device_batch(view.as_batch())

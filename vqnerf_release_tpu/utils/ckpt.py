@@ -21,11 +21,19 @@ def _ckptdir(outdir):
     return os.path.join(outdir, "checkpoints")
 
 
-def save_ckpt(outdir, step, state):
-    """state: any pytree (params, opt_state, ema, step...)."""
+def save_ckpt(outdir, step, state, keep=None):
+    """state: any pytree (params, opt_state, ema, step...).
+
+    keep: retain only the newest ``keep`` checkpoints
+    (tf.train.CheckpointManager max_to_keep / the reference's
+    keep_recent_epochs, trainvali.py:163-167); None keeps all."""
     path = os.path.join(_ckptdir(outdir), "ckpt-%d" % step)
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(os.path.abspath(path), state, force=True)
+    if keep is not None and keep > 0:
+        import shutil
+        for old in list_ckpts(outdir)[:-keep]:
+            shutil.rmtree(old, ignore_errors=True)
     return path
 
 
