@@ -5,6 +5,7 @@ in numpy)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vqnerf_release_tpu.ops import vq as vqops
 from vqnerf_release_tpu.ops.kmeans import kmeans, kmeans_predict
@@ -178,3 +179,37 @@ def test_kmeans_recovers_clusters():
     # predict assigns consistently
     pred = np.asarray(kmeans_predict(pts, jnp.asarray(centers)))
     np.testing.assert_array_equal(pred, np.asarray(assign))
+
+
+def test_sample_pdf_matches_torch_reference_ops():
+    """Cross-check against the actual torch ops the reference uses
+    (renderer.py:39-69) — searchsorted/gather semantics, not a numpy
+    re-derivation."""
+    torch = pytest.importorskip("torch")
+    rs = np.random.RandomState(7)
+    r, b, n = 5, 10, 12
+    bins_np = np.sort(rs.rand(r, b), axis=1).astype(np.float32)
+    w_np = rs.rand(r, b - 1).astype(np.float32)
+
+    got = np.asarray(sample_pdf(jnp.asarray(bins_np), jnp.asarray(w_np), n))
+
+    bins = torch.from_numpy(bins_np)
+    weights = torch.from_numpy(w_np) + 1e-5
+    pdf = weights / torch.sum(weights, -1, keepdim=True)
+    cdf = torch.cumsum(pdf, -1)
+    cdf = torch.cat([torch.zeros_like(cdf[..., :1]), cdf], -1)
+    u = torch.linspace(0.5 / n, 1.0 - 0.5 / n, steps=n)
+    u = u.expand(list(cdf.shape[:-1]) + [n]).contiguous()
+    inds = torch.searchsorted(cdf, u, right=True)
+    below = torch.max(torch.zeros_like(inds - 1), inds - 1)
+    above = torch.min((cdf.shape[-1] - 1) * torch.ones_like(inds), inds)
+    inds_g = torch.stack([below, above], -1)
+    matched = [inds_g.shape[0], inds_g.shape[1], cdf.shape[-1]]
+    cdf_g = torch.gather(cdf.unsqueeze(1).expand(matched), 2, inds_g)
+    bins_g = torch.gather(bins.unsqueeze(1).expand(matched), 2, inds_g)
+    denom = cdf_g[..., 1] - cdf_g[..., 0]
+    denom = torch.where(denom < 1e-5, torch.ones_like(denom), denom)
+    t = (u - cdf_g[..., 0]) / denom
+    expected = (bins_g[..., 0] + t * (bins_g[..., 1] - bins_g[..., 0])
+                ).numpy()
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
