@@ -174,3 +174,48 @@ def test_ckpt_retention(tmp_path):
     latest = cu.latest_ckpt(str(tmp_path))
     restored = cu.load_ckpt(latest)
     np.testing.assert_allclose(np.asarray(restored["x"]), 4.0)
+
+
+def test_neus_train_step_pallas_upsample_matches():
+    """use_pallas routes the (stop-gradiented) up-sample SDF evals through
+    the fused kernel; the training step must stay numerically equivalent
+    (verified on TPU to 1e-6; interpret mode here exercises the wiring +
+    autodiff safety on CPU)."""
+    cfg = NeuSConfig(n_samples=16, n_importance=16, up_sample_steps=2,
+                     perturb=1.0)
+    n = 32  # 32*16=512 and 32*8=256: BLOCK(=256)-aligned
+    rs = np.random.RandomState(0)
+    dirs = rs.randn(n, 3)
+    dirs[:, 2] = -np.abs(dirs[:, 2]) - 1.0
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    batch = {
+        "rays_o": jnp.asarray(np.tile([[0, 0, 2.0]], (n, 1)), jnp.float32),
+        "rays_d": jnp.asarray(dirs, jnp.float32),
+        "rgb": jnp.full((n, 3), 0.6),
+        "mask": jnp.ones((n, 1)),
+        "near": jnp.full((n, 1), 0.5),
+        "far": jnp.full((n, 1), 3.5),
+        "valid": jnp.ones((n, 1)),
+    }
+
+    finals = []
+    for use_pallas in (False, "interpret"):
+        tcfg = NeuSTrainConfig(end_iter=100, warm_up_end=10, batch_size=n,
+                               use_white_bkgd=False, use_pallas=use_pallas)
+        params = init_neus(0, cfg)
+        opt_state = init_neus_opt_state(params)
+        step_fn = jax.jit(make_neus_train_step(cfg, tcfg, radius=1.0))
+        losses = []
+        for step in range(3):
+            params, opt_state, m = step_fn(
+                params, opt_state, batch, jax.random.PRNGKey(step),
+                jnp.asarray(step, jnp.float32))
+            losses.append(float(m["loss"]))
+        finals.append((losses, params))
+
+    (l_ref, p_ref), (l_pal, p_pal) = finals
+    np.testing.assert_allclose(l_pal, l_ref, rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                    jax.tree_util.tree_leaves(p_pal)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)

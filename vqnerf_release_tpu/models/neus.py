@@ -206,11 +206,18 @@ def _render_core(params, cfg: NeuSConfig, rays_o, rays_d, z_vals, sample_dist,
 
 def neus_render(params, cfg: NeuSConfig, rays_o, rays_d, near, far, radius,
                 key=None, perturb_overwrite=-1.0, background_rgb=None,
-                cos_anneal_ratio=0.0, to_light=False):
+                cos_anneal_ratio=0.0, to_light=False, use_pallas=False):
     """Full hierarchical render (renderer.py:299-401).
 
     near/far: [R, 1]. Returns the reference's output dict. ``key=None``
     disables perturbation regardless of cfg.perturb.
+
+    use_pallas: run the hierarchical up-sampling SDF evaluations through
+    the fused Pallas forward kernel. The chain is entirely under
+    stop_gradient (renderer.py:336 no_grad), so it is safe inside a
+    training grad — all kernel inputs carry zero tangents and JAX never
+    asks for the (undefined) kernel VJP. Gated on point counts being
+    BLOCK-aligned, like neus_occlusion.
     """
     batch_size = rays_o.shape[0]
     if to_light:
@@ -249,9 +256,25 @@ def neus_render(params, cfg: NeuSConfig, rays_o, rays_d, near, far, radius,
 
     if cfg.n_importance > 0:
         # All under stop_gradient (renderer.py:336 no_grad)
+        sdf_fn = None
+        if use_pallas:
+            from ..ops.pallas.sdf_kernel import BLOCK, sdf_fwd_pallas
+            per_step = cfg.n_importance // max(cfg.up_sample_steps, 1)
+            if (batch_size * cfg.n_samples) % BLOCK == 0 and \
+                    (batch_size * per_step) % BLOCK == 0:
+                # stop_gradient on every input: the kernel has no VJP, but
+                # zero tangents mean autodiff never requests one
+                sdf_params = jax.tree_util.tree_map(
+                    jax.lax.stop_gradient, params["sdf"])
+                interp = use_pallas == "interpret"  # CPU tests
+                sdf_fn = lambda pts: sdf_fwd_pallas(
+                    sdf_params, jax.lax.stop_gradient(pts), cfg.sdf,
+                    interpret=interp)
+        _sdf_eval = sdf_fn or (
+            lambda p: fields.sdf_only(params["sdf"], p, cfg.sdf))
         pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
         sdf = jax.lax.stop_gradient(
-            fields.sdf_only(params["sdf"], pts.reshape(-1, 3), cfg.sdf)
+            _sdf_eval(pts.reshape(-1, 3))
         ).reshape(batch_size, cfg.n_samples)
         z_cur = z_vals
         for i in range(cfg.up_sample_steps):
@@ -260,7 +283,7 @@ def neus_render(params, cfg: NeuSConfig, rays_o, rays_d, near, far, radius,
                 cfg.n_importance // cfg.up_sample_steps, 64 * 2**i)
             z_cur, sdf = _cat_z_vals(
                 params, cfg, rays_o, rays_d, z_cur, new_z, sdf,
-                last=(i + 1 == cfg.up_sample_steps))
+                last=(i + 1 == cfg.up_sample_steps), sdf_fn=sdf_fn)
             if sdf is not None:
                 sdf = jax.lax.stop_gradient(sdf)
         z_vals = jax.lax.stop_gradient(z_cur)
@@ -322,10 +345,11 @@ def neus_occlusion(params, cfg: NeuSConfig, rays_o, rays_d, near, far,
                 (batch_size * (cfg.n_importance
                                // max(cfg.up_sample_steps, 1))) % BLOCK \
                 == 0:
+            interp = use_pallas == "interpret"  # CPU tests
             sdf_fn = lambda pts: sdf_fwd_pallas(
-                params["sdf"], pts, cfg.sdf)
+                params["sdf"], pts, cfg.sdf, interpret=interp)
             fused_fwdgrad = lambda pts: sdf_fwdgrad_pallas(
-                params["sdf"], pts, cfg.sdf)
+                params["sdf"], pts, cfg.sdf, interpret=interp)
 
     z_lin = jnp.linspace(0.0, 1.0, cfg.n_samples)
     z_vals = near + (far - near) * z_lin[None, :]

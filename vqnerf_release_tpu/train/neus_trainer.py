@@ -38,6 +38,7 @@ class NeuSTrainConfig:
     use_white_bkgd: bool = True
     save_freq: int = 10_000
     val_freq: int = 2_500
+    use_pallas: bool = False  # fused Pallas SDF for the up-sample chain
 
 
 def neus_lr_factor(step, tcfg: NeuSTrainConfig):
@@ -74,7 +75,7 @@ def make_neus_train_step(cfg: NeuSConfig, tcfg: NeuSTrainConfig, radius):
         out = neus_render(
             params, cfg, batch["rays_o"], batch["rays_d"], batch["near"],
             batch["far"], radius, key=key, background_rgb=background_rgb,
-            cos_anneal_ratio=anneal)
+            cos_anneal_ratio=anneal, use_pallas=tcfg.use_pallas)
         valid = batch["valid"]
         if tcfg.mask_weight > 0:
             mask = (batch["mask"] > 0.5).astype(jnp.float32) * valid
