@@ -287,6 +287,15 @@ def cmd_edit_server(args):
                      probe_names=probe_names)
 
 
+def cmd_edit_ui(args):
+    """Serve the browser editing frontend (ui4.py counterpart) against a
+    running edit-server's workspace."""
+    from .pipelines.edit_web import serve_edit_ui
+
+    serve_edit_ui(args.root, args.views_dir, port=args.port,
+                  envs=[e.strip() for e in args.envs.split(",") if e])
+
+
 def cmd_gen_video(args):
     """Render a video trajectory (nerfactor/gen_video.py equivalent)."""
     import numpy as _np
@@ -404,6 +413,18 @@ def main(argv=None):
                    help="edit workspace (status/ + edited/)")
     p.add_argument("--test-envmap-dir", default=None)
     p.set_defaults(fn=cmd_edit_server)
+
+    p = sub.add_parser("edit-ui", help="browser frontend for edit-server")
+    p.add_argument("--root", required=True,
+                   help="edit workspace shared with edit-server")
+    p.add_argument("--views-dir", required=True,
+                   help="test pass with batch%%09d/pred_rgb.png + "
+                        "pred_embed.npy (e.g. .../pd_vq)")
+    p.add_argument("--port", type=int, default=8008)
+    p.add_argument("--envs", default="original",
+                   help="comma-separated illumination names the server "
+                        "was started with")
+    p.set_defaults(fn=cmd_edit_ui)
 
     p = sub.add_parser("gen-video")
     _add_common(p)

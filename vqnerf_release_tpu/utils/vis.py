@@ -103,6 +103,10 @@ def vis_view(to_vis, hw, outdir, view_id, white_bg=True, mode="test",
             img = _blend((v + 1.0) / 2.0, alpha, white_bg)
             img_dict[k] = vio.write_img(img, join(outdir, k + ".png"))
         elif k.endswith("embed"):
+            # raw int map alongside the palette PNG: pixel-click segment
+            # selection (edit_web / ui4.py auto_select) needs the ids
+            np.save(join(outdir, k + ".npy"),
+                    np.asarray(v).astype(np.int16))
             img_dict[k] = vis_embed_map(v, join(outdir, "embed_map.png"))
         elif k.endswith(("rgb_diff", "rgb_spec")):
             np.save(join(outdir, k + ".npy"), v)
