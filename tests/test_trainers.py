@@ -219,3 +219,48 @@ def test_neus_train_step_pallas_upsample_matches():
                     jax.tree_util.tree_leaves(p_pal)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-5, rtol=1e-4)
+
+
+def test_neus_train_step_sharded():
+    """Stage-1 step over the 8-device ray mesh: params replicated, batch
+    sharded, loss finite and equal to the single-device step."""
+    cfg = NeuSConfig(n_samples=12, n_importance=12, up_sample_steps=2,
+                     perturb=0.0)
+    tcfg = NeuSTrainConfig(end_iter=100, warm_up_end=10, batch_size=64,
+                           use_white_bkgd=False)
+    params = init_neus(0, cfg)
+    opt_state = init_neus_opt_state(params)
+    step_fn = jax.jit(make_neus_train_step(cfg, tcfg, radius=1.0))
+
+    rs = np.random.RandomState(0)
+    n = 64
+    dirs = rs.randn(n, 3)
+    dirs[:, 2] = -np.abs(dirs[:, 2]) - 1.0
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    batch_np = {
+        "rays_o": np.tile([[0, 0, 2.0]], (n, 1)).astype(np.float32),
+        "rays_d": dirs.astype(np.float32),
+        "rgb": np.full((n, 3), 0.6, np.float32),
+        "mask": np.ones((n, 1), np.float32),
+        "near": np.full((n, 1), 0.5, np.float32),
+        "far": np.full((n, 1), 3.5, np.float32),
+        "valid": np.ones((n, 1), np.float32),
+    }
+    key = jax.random.PRNGKey(0)
+    step = jnp.asarray(0.0)
+
+    # single-device reference
+    _, _, m_ref = step_fn(params, opt_state,
+                          {k: jnp.asarray(v) for k, v in batch_np.items()},
+                          key, step)
+
+    mesh = get_mesh()
+    batch, n_orig = shard_batch(batch_np, mesh)
+    assert n_orig == n
+    rep = replicate(mesh)
+    p = jax.device_put(params, rep)
+    o = jax.device_put(opt_state, rep)
+    p, o, m = step_fn(p, o, batch, key, step)
+    assert np.isfinite(float(m["loss"]))
+    np.testing.assert_allclose(float(m["loss"]), float(m_ref["loss"]),
+                               rtol=1e-4)
