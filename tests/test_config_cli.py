@@ -69,3 +69,57 @@ def test_cli_parsing(tmp_path):
     with pytest.raises(FileNotFoundError):
         main(["decomp-train", "lego_3072", "--data-root",
               str(tmp_path / "none"), "--phase", "vq_nfr"])
+
+
+def test_cli_reselect_main_end_to_end(tmp_path):
+    """`reselect-main` finds the latest vali epoch under the scene's vq
+    outdir and moves the main_<k> marker."""
+    import json
+
+    from vqnerf_release_tpu import config as vcfg
+    from vqnerf_release_tpu.cli import main
+
+    vq_out = vcfg.train_outdir(str(tmp_path), "lego_3072", "vq_nfr")
+    ep = os.path.join(vq_out, "vis_vali", "epoch000000030")
+    # production lego: num_embed=15, num_drop=12 -> 13 dropout scores
+    os.makedirs(os.path.join(ep, "main_3"))
+    for k in range(4, 16):
+        os.makedirs(os.path.join(ep, str(k)))
+    scores = [1.0] + [0.5] * 12  # elbow at i=1 -> k = 15 - 12 + 1 = 4
+    with open(os.path.join(ep, "vq_test_loss.json"), "w") as f:
+        json.dump({"chromaticity": scores, "vqrgb": scores}, f)
+
+    main(["reselect-main", "lego_3072", "--output-root", str(tmp_path)])
+    assert os.path.isdir(os.path.join(ep, "main_4"))
+    assert os.path.isdir(os.path.join(ep, "3"))
+    assert not os.path.isdir(os.path.join(ep, "main_3"))
+
+
+def test_cli_gen_z_dispatch(tmp_path, monkeypatch):
+    from vqnerf_release_tpu import cli
+    from vqnerf_release_tpu.pipelines import gen_z as gz
+
+    calls = {}
+    monkeypatch.setattr(cli, "_load_phase_params",
+                        lambda outdir, cfg, phase: {"fake": True})
+
+    class _FakeDs:
+        files = []
+
+        def __init__(self, *a, **k):
+            pass
+
+        def load_view(self, f):
+            raise AssertionError("no views in fixture")
+
+    import vqnerf_release_tpu.data.shape_dataset as sd
+    monkeypatch.setattr(sd, "ShapeDataset", _FakeDs)
+    monkeypatch.setattr(
+        gz, "export_materials",
+        lambda params, cfg, views, outroot, gen_z=False: calls.update(
+            outroot=outroot, gen_z=gen_z, n=len(views)) or [])
+    cli.main(["gen-z", "lego_3072", "--data-root", str(tmp_path),
+              "--output-root", str(tmp_path), "--gen-z",
+              "--outdir", str(tmp_path / "out")])
+    assert calls == {"outroot": str(tmp_path / "out"), "gen_z": True,
+                     "n": 0}

@@ -287,6 +287,50 @@ def cmd_edit_server(args):
                      probe_names=probe_names)
 
 
+def cmd_gen_z(args):
+    """Export per-view albedo/spec/rough (+ latents) from a trained
+    nfr_unit (reference gen_z.py driver)."""
+    from .data.shape_dataset import ShapeDataset
+    from .pipelines.gen_z import export_materials
+
+    cfg, _ = vcfg.decomp_config_for_scene(args.scene)
+    surf_root = args.surf_root or vcfg.surf_dir(
+        os.path.join(args.output_root, "surf"), args.scene)
+    nfr_out = vcfg.train_outdir(args.output_root, args.scene, "nfr_unit")
+    nfr_params = _load_phase_params(nfr_out, cfg, "nfr_unit")
+    ds = ShapeDataset(args.data_root, surf_root, data_type=cfg.data_type,
+                      imh=cfg.imh, white_bg=cfg.white_bg, mode=args.mode)
+    views = [ds.load_view(f) for f in ds.files]
+    outroot = args.outdir or os.path.join(nfr_out, "gen_z")
+    dirs = export_materials(nfr_params, cfg, views, outroot,
+                            gen_z=args.gen_z)
+    print(f"gen-z: wrote {len(dirs)} views under {outroot}")
+
+
+def cmd_reselect_main(args):
+    """Re-run the elbow selection over a finished vq_nfr validation epoch
+    and move the main_<k> marker (reference gen_main.py driver)."""
+    from .pipelines.gen_main import reselect_main
+
+    cfg, _ = vcfg.decomp_config_for_scene(args.scene)
+    if args.vali_epoch_dir:
+        epoch_dir = args.vali_epoch_dir
+    else:
+        vq_out = vcfg.train_outdir(args.output_root, args.scene, "vq_nfr")
+        vali = os.path.join(vq_out, "vis_vali")
+        epochs = sorted(d for d in os.listdir(vali)
+                        if d.startswith("epoch"))
+        if not epochs:
+            raise FileNotFoundError(f"no epoch dirs under {vali}")
+        epoch_dir = os.path.join(vali, epochs[-1])
+    best_thres = (args.best_thres if args.best_thres is not None
+                  else cfg.best_thres)
+    k = reselect_main(epoch_dir, cfg.num_embed, cfg.num_drop, best_thres,
+                      apply=not args.dry_run)
+    print(f"reselect-main: k={k} ({'dry run' if args.dry_run else 'applied'})"
+          f" in {epoch_dir}")
+
+
 def cmd_edit_ui(args):
     """Serve the browser editing frontend (ui4.py counterpart) against a
     running edit-server's workspace."""
@@ -413,6 +457,26 @@ def main(argv=None):
                    help="edit workspace (status/ + edited/)")
     p.add_argument("--test-envmap-dir", default=None)
     p.set_defaults(fn=cmd_edit_server)
+
+    p = sub.add_parser("gen-z", help="export nfr_unit materials/latents")
+    _add_common(p)
+    p.add_argument("--surf-root", default=None)
+    p.add_argument("--mode", default="train",
+                   choices=["train", "vali", "test"])
+    p.add_argument("--outdir", default=None)
+    p.add_argument("--gen-z", action="store_true",
+                   help="also dump the z_bias latents")
+    p.set_defaults(fn=cmd_gen_z)
+
+    p = sub.add_parser("reselect-main",
+                       help="re-run elbow selection on a vq vali epoch")
+    p.add_argument("scene")
+    p.add_argument("--output-root", default="./output")
+    p.add_argument("--vali-epoch-dir", default=None,
+                   help="explicit epoch dir (default: latest)")
+    p.add_argument("--best-thres", type=float, default=None)
+    p.add_argument("--dry-run", action="store_true")
+    p.set_defaults(fn=cmd_reselect_main)
 
     p = sub.add_parser("edit-ui", help="browser frontend for edit-server")
     p.add_argument("--root", required=True,
