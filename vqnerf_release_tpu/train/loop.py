@@ -68,6 +68,26 @@ def _log_scalars(outdir, epoch, scalars):
         f.write(json.dumps({"epoch": epoch, **scalars}) + "\n")
 
 
+def _check_finite(outdir, phase, epoch, scalars, state):
+    """Divergence guard: on a non-finite epoch loss, checkpoint the exact
+    failing state under <outdir>/debug_failure/ and raise with context.
+    (The reference trains blind here — a NaN silently corrupts all later
+    epochs; on long TPU runs we want the job to stop AND be resumable
+    from the last good checkpoint.)"""
+    bad = {k: v for k, v in scalars.items()
+           if not np.isfinite(np.asarray(v)).all()}
+    if not bad:
+        return
+    dump = join(outdir, "debug_failure")
+    ckpt_util.save_ckpt(dump, epoch, state)
+    _log_scalars(dump, epoch, {"phase": phase, "non_finite": sorted(bad)})
+    raise RuntimeError(
+        f"{phase}: non-finite training loss at epoch {epoch}: {bad} — "
+        f"failing state checkpointed under {dump}; resume from the last "
+        f"good checkpoint in {outdir} after lowering the LR or inspecting "
+        "the data")
+
+
 def save_metas(outdir):
     """Aggregate per-epoch metadata.json metrics (train_nfr.py:491-510)."""
     vali_root = join(outdir, "vis_vali")
@@ -215,6 +235,9 @@ def train_nfr_unit(cfg: dc.DecompConfig, train_views, vali_views, outdir,
         history.append(float(np.mean([float(l) for l in losses])))
         e1 = epoch + 1
         _log_scalars(outdir, e1, {"loss_train": history[-1]})
+        _check_finite(outdir, "nfr_unit", e1, {"loss_train": history[-1]},
+                      {"params": params, "opt_state": opt_state,
+                       "epoch": e1})
         if e1 % cfg_ckpt_period(cfg) == 0 or e1 == epochs:
             ckpt_util.save_ckpt(
                 outdir, e1,
@@ -331,6 +354,9 @@ def train_vq_nfr(cfg: dc.DecompConfig, nfr_params, train_views, vali_views,
         _log_scalars(outdir, e1, {
             k: float(np.mean([d[k] for d in loss_dicts]))
             for k in loss_dicts[0]})
+        _check_finite(outdir, "vq_nfr", e1, {"loss": history[-1]},
+                      {"params": params, "ema": ema_state,
+                       "opt_state": opt_state, "epoch": e1})
         if e1 % cfg_ckpt_period(cfg) == 0 or e1 == epochs:
             ckpt_util.save_ckpt(
                 outdir, e1,
@@ -458,6 +484,9 @@ def train_ref_nfr(cfg: dc.DecompConfig, vq_params, light, train_views,
         history.append(float(np.mean([float(l) for l in losses])))
         e1 = epoch + 1
         _log_scalars(outdir, e1, {"loss_train": history[-1]})
+        _check_finite(outdir, "ref_nfr", e1, {"loss_train": history[-1]},
+                      {"params": params, "opt_state": opt_state,
+                       "epoch": e1})
         if e1 % cfg_ckpt_period(cfg) == 0 or e1 == epochs:
             ckpt_util.save_ckpt(
                 outdir, e1,

@@ -55,8 +55,10 @@ class NeuSRunner:
         self._render_val = _render_val
 
     # -- checkpointing (nerf_runner.py:210-232) ----------------------------
-    def save_checkpoint(self):
-        return ckpt_util.save_ckpt(self.base_exp_dir, self.iter_step, {
+    def save_checkpoint(self, subdir=None):
+        outdir = (os.path.join(self.base_exp_dir, subdir)
+                  if subdir else self.base_exp_dir)
+        return ckpt_util.save_ckpt(outdir, self.iter_step, {
             "params": self.params, "opt_state": self.opt_state,
             "iter_step": self.iter_step})
 
@@ -100,6 +102,16 @@ class NeuSRunner:
             if log_every and self.iter_step % log_every == 0:
                 history.append(
                     {k: float(v) for k, v in metrics.items()})
+                if not np.isfinite(history[-1]["loss"]):
+                    # divergence guard: keep the failing state for triage
+                    # and stop instead of silently corrupting later iters
+                    self.save_checkpoint(
+                        subdir="debug_failure")
+                    raise RuntimeError(
+                        f"NeuS: non-finite loss at iter {self.iter_step}: "
+                        f"{history[-1]} — failing state saved under "
+                        f"debug_failure/; resume from the last good "
+                        "checkpoint")
             if self.iter_step % self.tcfg.save_freq == 0:
                 self.save_checkpoint()
             if self.val_dataset is not None and \
