@@ -236,3 +236,31 @@ def test_make_frame(tmp_path):
     assert frame.shape[0] > 24 and frame.shape[1] > 24
     assert make_frame(str(tmp_path / "empty"),
                       (("rgb",),)) is None
+
+
+def test_profiling_trace_and_steptimer(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from vqnerf_release_tpu.utils.profiling import StepTimer, trace
+
+    logdir = str(tmp_path / "trace")
+    f = jax.jit(lambda x: jnp.sum(x * x))
+    with trace(logdir):
+        _ = float(f(jnp.arange(8.0)))
+    # the profiler writes a plugins/profile/<ts>/ tree
+    found = []
+    for root, _dirs, files in os.walk(logdir):
+        found += files
+    assert found, "trace produced no files"
+
+    st = StepTimer(path=str(tmp_path / "steps.json"))
+    for i in range(5):
+        st.start()
+        st.stop(sync=f(jnp.arange(8.0) + i))
+    s = st.summary()
+    assert s["steps"] == 5 and s["best_ms"] > 0
+    assert os.path.exists(tmp_path / "steps.json")
+
+    with trace(None):  # no-op path
+        pass

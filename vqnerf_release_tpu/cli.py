@@ -60,7 +60,9 @@ def cmd_geo_train(args):
         args.output_root, "exp", args.scene, meta["family"])
     runner = NeuSRunner(cfg, tcfg, ds, exp_dir, seed=args.seed or 0)
     runner.try_resume()
-    runner.train()
+    from .utils.profiling import trace
+    with trace(getattr(args, "profile_dir", None)):
+        runner.train()
     runner.save_checkpoint()
 
 
@@ -119,6 +121,12 @@ def _apply_preset_overrides(cfg, override_str):
 
 
 def cmd_decomp_train(args):
+    from .utils.profiling import trace
+    with trace(getattr(args, "profile_dir", None)):
+        _run_decomp_train(args)
+
+
+def _run_decomp_train(args):
     from .data.shape_dataset import ShapeDataset
     from .train import loop
 
@@ -417,6 +425,8 @@ def main(argv=None):
                    help="k=v,... overrides onto NeuSTrainConfig")
     p.add_argument("--n-samples", type=int, default=0,
                    help="shrink the sampler for smoke runs")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax profiler trace (TensorBoard)")
     p.set_defaults(fn=cmd_geo_train)
 
     p = sub.add_parser("gen-geo")
@@ -436,6 +446,8 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=0)
     p.add_argument("--preset-override", default="",
                    help="k=v,... overrides onto the family preset")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax profiler trace (TensorBoard)")
     p.set_defaults(fn=cmd_decomp_train)
 
     p = sub.add_parser("test")
