@@ -192,3 +192,57 @@ def test_extraction_sharded_over_mesh(tmp_path):
     a = np.load(os.path.join(str(tmp_path / "s1"), "train_000", "xyz.npy"))
     b = np.load(os.path.join(str(tmp_path / "s8"), "train_000", "xyz.npy"))
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_fast_vis_matches_full(tmp_path):
+    """The two-pass fast lvis must agree with the full per-ray render:
+    identical on the uncertain subset (same occlusion math) and vis=1 on
+    coarse-certified rays, where the full path's weight_sum is ~0."""
+    root = str(tmp_path)
+    _make_stage1_scene(root)
+    ds = NerfSceneDataset(root, is_train=True, near=0.5, far=3.5)
+    cfg = NeuSConfig(n_samples=8, n_importance=8, up_sample_steps=2,
+                     perturb=0.0)
+    params = init_neus(0, cfg)  # geometric init: ~sphere of radius 0.5
+
+    mk = lambda fast: GeoExtractor(
+        params, cfg, ds, os.path.join(root, "surf"), light_h=LIGHT_H,
+        vis_point_batch=8, fast_vis=fast, fast_vis_factor=2.0)
+    ex_full, ex_fast = mk(False), mk(True)
+
+    # points on the init sphere with outward normals: roughly half the
+    # light directions point back through the surface (occluded-ish),
+    # half point away (free)
+    rs = np.random.RandomState(0)
+    n = 12
+    p = rs.randn(n, 3).astype(np.float32)
+    p /= np.linalg.norm(p, axis=1, keepdims=True)
+    surf = 0.55 * p
+    normal = p.copy()
+
+    full = ex_full._lvis_full(surf, normal)
+    fast = ex_fast._lvis_fast(surf, normal)
+    assert full.shape == fast.shape == (n, 2 * LIGHT_H * LIGHT_H)
+    # agreement everywhere within the soft-visibility tolerance
+    np.testing.assert_allclose(fast, full, atol=0.05)
+    # and the fast path certified a useful fraction as free
+    # (reconstruct its uncertain mask to check the split is non-trivial)
+    ms = np.zeros_like(full)
+    sp = np.zeros_like(full)
+    fl = np.zeros_like(full)
+    bs = ex_fast.vis_point_batch
+    import jax.numpy as jnp
+    for i in range(0, n, bs):
+        s = np.pad(surf[i:i+bs], ((0, max(0, bs-(n-i))), (0, 0)),
+                   constant_values=0.5)
+        nn = np.pad(normal[i:i+bs], ((0, max(0, bs-(n-i))), (0, 0)),
+                    constant_values=1.0)
+        a, b, c = ex_fast._coarse_batch(params, jnp.asarray(s),
+                                        jnp.asarray(nn))
+        end = min(i+bs, n) - i
+        ms[i:i+end], sp[i:i+end], fl[i:i+end] = (
+            np.asarray(a)[:end], np.asarray(b)[:end], np.asarray(c)[:end])
+    certified = (fl > 0) & (ms >= 0.5 * 2.0 * sp)
+    assert certified.sum() > 0, "coarse pass certified nothing"
+    # certified rays really are free under the full render
+    np.testing.assert_allclose(full[certified], 1.0, atol=0.05)

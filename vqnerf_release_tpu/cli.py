@@ -94,7 +94,9 @@ def cmd_gen_geo(args):
         ds = mk(args.data_root, is_train=is_train,
                 new_h=meta["new_h"], **kwargs)
         ex = GeoExtractor(params, cfg, ds, out_dir,
-                          use_white_bkgd=tcfg.use_white_bkgd)
+                          use_white_bkgd=tcfg.use_white_bkgd,
+                          fast_vis=args.fast_vis,
+                          fast_vis_factor=args.fast_vis_factor)
         ex.extract_views(is_train=is_train, num_p=args.num_p,
                          p_i=args.p_i, no_vis=no_vis)
 
@@ -436,6 +438,12 @@ def main(argv=None):
     p.add_argument("--no-vis", action="store_true")
     p.add_argument("--geo-override", default="")
     p.add_argument("--n-samples", type=int, default=0)
+    p.add_argument("--fast-vis", action="store_true",
+                   help="two-pass lvis: coarse SDF sweep certifies free "
+                        "shadow rays; full render only on the rest")
+    p.add_argument("--fast-vis-factor", type=float, default=2.0,
+                   help="safety factor on the coarse certification "
+                        "margin (>= 1; higher = more conservative)")
     p.set_defaults(fn=cmd_gen_geo)
 
     p = sub.add_parser("decomp-train")
