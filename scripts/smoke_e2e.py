@@ -104,6 +104,8 @@ def main():
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--imh", type=int, default=64)
     ap.add_argument("--light-h", type=int, default=4)
+    ap.add_argument("--fast-vis", action="store_true",
+                    help="use the two-pass lvis extractor")
     args = ap.parse_args()
 
     from vqnerf_release_tpu.data.neus_dataset import NerfSceneDataset
@@ -147,7 +149,8 @@ def main():
                                 far=3.5)
         ex = GeoExtractor(runner.params, cfg1, ds_x, surf_root,
                           use_white_bkgd=True, batch_size=4096,
-                          light_h=args.light_h, vis_point_batch=128)
+                          light_h=args.light_h, vis_point_batch=128,
+                          fast_vis=args.fast_vis)
         ex.extract_views(is_train=is_train)
     print(f"== extraction done in {time.time()-t0:.0f}s")
 

@@ -181,8 +181,6 @@ def _run_decomp_train(args):
 
 
 def _load_phase_params(outdir, cfg, phase):
-    from .models.nfr_unit import init_nfr_unit
-    from .models.vq_nfr import init_vq_nfr
     from .utils import ckpt as ckpt_util
 
     latest = ckpt_util.latest_ckpt(outdir)
