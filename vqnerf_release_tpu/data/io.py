@@ -93,7 +93,13 @@ def read_hdr(path):
 def read_envmap(path, new_h=None):
     """.hdr/.exr/.npy envmap, optionally resized to height new_h."""
     ext = os.path.basename(str(path)).split(".")[-1].lower()
-    if ext in ("hdr", "exr"):
+    if ext == "exr":
+        # no EXR codec ships in cv2/imageio here; use our own reader
+        from .exr import read_exr
+        arr = read_exr(path)
+        if arr.ndim == 3 and arr.shape[2] == 4:
+            arr = arr[..., :3]
+    elif ext == "hdr":
         arr = read_hdr(path)
     elif ext == "npy":
         arr = np.load(path).astype(np.float32)
