@@ -42,15 +42,22 @@ __all__ = ["train_nfr_unit", "train_vq_nfr", "train_ref_nfr",
 
 
 def outer_sample(view, n_rays, rng, jitter_mode="random", alpha_thres=0.9):
-    """Dispatch to the native sampler (native/fastloader) when built and
-    enabled via VQNERF_NATIVE_SAMPLER=1; numpy otherwise. The two produce
-    identical contracts but different RNG streams."""
-    if os.environ.get("VQNERF_NATIVE_SAMPLER") == "1":
+    """Dispatch to the native sampler (native/fastloader, ~10x the numpy
+    path) when the library is built; identical output contract but a
+    different RNG stream. VQNERF_NATIVE_SAMPLER=0 pins the numpy sampler
+    (the test suite does, for determinism), =1 forces native, unset =
+    auto (use it if built)."""
+    mode = os.environ.get("VQNERF_NATIVE_SAMPLER", "auto")
+    if mode != "0":
         from ..data import native as _native
         if _native.native_available():
             return _native.outer_sample_native(
                 view, n_rays, seed=int(rng.randint(0, 2**31 - 1)),
                 jitter_mode=jitter_mode, alpha_thres=alpha_thres)
+        if mode == "1":
+            raise RuntimeError(
+                "VQNERF_NATIVE_SAMPLER=1 but native/fastloader is not "
+                "built (make -C native/fastloader)")
     return _outer_sample_np(view, n_rays, rng, jitter_mode=jitter_mode,
                             alpha_thres=alpha_thres)
 
