@@ -278,3 +278,38 @@ def test_cli_script_writes_our_layout(tmp_path):
     epoch_dirs = sorted(
         p for p in os.listdir(out / "vis_vali") if p.startswith("epoch"))
     assert find_vq(str(out / "vis_vali" / epoch_dirs[-1])) == 4
+
+
+def test_as_train_state_all_phases(tmp_path):
+    """Each phase's imported params wrap into the exact state dict the
+    corresponding training loop checkpoints (train/loop.py), with a fresh
+    optimizer sized to the trainable subtree."""
+    rs = np.random.RandomState(9)
+    nfr_dir, _, _ = _nfr_fixture(tmp_path, rs)
+    nfr_params, cfg = ti.import_nfr_unit(str(nfr_dir))
+    st = ti.as_train_state("nfr_unit", cfg, nfr_params, epoch=7)
+    assert set(st) == {"params", "opt_state", "epoch"} and st["epoch"] == 7
+
+    vq_dir, vq_nets, _, _ = _vq_fixture(tmp_path, rs)
+    vq_params, ema, vq_cfg = ti.import_vq_nfr(str(vq_dir))
+
+    ref_expected = init_ref_nfr(
+        0, vq_cfg, vq_params, np.zeros(vq_cfg.light_res + (3,), np.float32))
+    ref_nets = {name: _rand_mlp_like(ref_expected["train"][name], rs)
+                for name in ("rgb_enc", "diff_out", "rough_out")}
+    ref_dir = tmp_path / "ref2"
+    _save_reference_style_ckpt(ref_dir, ref_nets, {
+        "_light": rs.rand(*vq_cfg.light_res, 3).astype(np.float32),
+        "_gamma_bias": rs.rand(1).astype(np.float32),
+        "_gamma_index": rs.rand(1).astype(np.float32)})
+    ref_params, ref_cfg = ti.import_ref_nfr(str(ref_dir), str(vq_dir))
+    st = ti.as_train_state("ref_nfr", ref_cfg, ref_params, epoch=3)
+    assert set(st) == {"params", "opt_state", "epoch"}
+    # the optimizer state covers exactly the trainable subtree
+    import jax
+    opt_leaves = len(jax.tree_util.tree_leaves(st["opt_state"]))
+    assert opt_leaves > 0
+    with pytest.raises(ValueError, match="ema_state"):
+        ti.as_train_state("vq_nfr", vq_cfg, vq_params)
+    with pytest.raises(ValueError, match="unknown phase"):
+        ti.as_train_state("bogus", vq_cfg, vq_params)
