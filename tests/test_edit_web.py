@@ -125,12 +125,13 @@ def test_cli_has_edit_ui_subcommand(tmp_path, monkeypatch):
 
     calls = {}
 
-    def fake_serve(root, views_dir, port=0, envs=()):
+    def fake_serve(root, views_dir, port=0, envs=(), host=""):
         calls.update(root=root, views_dir=views_dir, port=port,
-                     envs=list(envs))
+                     envs=list(envs), host=host)
 
     monkeypatch.setattr(edit_web, "serve_edit_ui", fake_serve)
     cli.main(["edit-ui", "--root", "/r", "--views-dir", "/v",
               "--port", "1234", "--envs", "original,court"])
     assert calls == {"root": "/r", "views_dir": "/v", "port": 1234,
-                     "envs": ["original", "court"]}
+                     "envs": ["original", "court"],
+                     "host": "127.0.0.1"}  # loopback default (r1 ADVICE)

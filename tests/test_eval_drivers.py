@@ -121,9 +121,15 @@ def test_metric_eval_scene(tmp_path):
     assert min(m["rgb"]["psnr"]) > 40
     assert min(m["env"]["psnr"]) > 40
     assert len(m["kd"]["psnr"]) == 2
-    assert len(m["ks"]["psnr"]) == 2
-    assert len(m["rough"]["psnr"]) == 2
+    # nerf family has no ks/rough GT (reference metric_eval.py:78)
+    assert "ks" not in m and "rough" not in m
     assert all(np.isfinite(v) for v in m["kd"]["lpips"])
+    # mat family evaluates ks/rough but has no relight GT (:85-86)
+    m2 = eval_scene("lego_3072", "mat", str(pd_scene), str(gt_scene),
+                    relight_dir=str(relight_dir), env_lights=["city"])
+    assert len(m2["ks"]["psnr"]) == 2
+    assert len(m2["rough"]["psnr"]) == 2
+    assert "env" not in m2
 
 
 def test_csv_exporters(tmp_path):

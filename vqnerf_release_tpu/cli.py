@@ -66,6 +66,31 @@ def cmd_geo_train(args):
     runner.save_checkpoint()
 
 
+def _gen_geo_mesh(devices_arg):
+    """Resolve the gen-geo --devices flag to a ray mesh (or None for the
+    unsharded single-device path)."""
+    import jax
+
+    from .parallel.mesh import get_mesh
+
+    if devices_arg == "all":
+        n = len(jax.devices())
+    else:
+        try:
+            n = int(devices_arg)
+        except ValueError:
+            raise SystemExit(
+                f"--devices must be 'all' or an integer, got "
+                f"{devices_arg!r}")
+    if n <= 1:
+        return None
+    avail = jax.devices()
+    if n > len(avail):
+        raise SystemExit(
+            f"--devices {n} but only {len(avail)} JAX devices visible")
+    return get_mesh(avail[:n])
+
+
 def cmd_gen_geo(args):
     from .data.neus_dataset import DtuSceneDataset, NerfSceneDataset
     from .pipelines.gen_geo import GeoExtractor
@@ -90,13 +115,16 @@ def cmd_gen_geo(args):
     no_vis = args.no_vis or args.scene not in vcfg.CG_SCENES
     out_dir = vcfg.surf_dir(
         os.path.join(args.output_root, "surf"), args.scene)
+    mesh = _gen_geo_mesh(getattr(args, "devices", "1"))
     for is_train in (True, False):
         ds = mk(args.data_root, is_train=is_train,
                 new_h=meta["new_h"], **kwargs)
         ex = GeoExtractor(params, cfg, ds, out_dir,
                           use_white_bkgd=tcfg.use_white_bkgd,
                           fast_vis=args.fast_vis,
-                          fast_vis_factor=args.fast_vis_factor)
+                          fast_vis_factor=args.fast_vis_factor,
+                          use_pallas=getattr(args, "pallas", False),
+                          mesh=mesh)
         ex.extract_views(is_train=is_train, num_p=args.num_p,
                          p_i=args.p_i, no_vis=no_vis)
 
@@ -345,7 +373,8 @@ def cmd_edit_ui(args):
     from .pipelines.edit_web import serve_edit_ui
 
     serve_edit_ui(args.root, args.views_dir, port=args.port,
-                  envs=[e.strip() for e in args.envs.split(",") if e])
+                  envs=[e.strip() for e in args.envs.split(",") if e],
+                  host=args.host)
 
 
 def cmd_gen_video(args):
@@ -388,7 +417,10 @@ def cmd_metric_eval(args):
         args.scenes.split(","), args.family, args.pred_root,
         args.gt_root, out_json=args.out_json, model_name=args.model)
     import numpy as _np
+    print("lpips_impl:", scores.get("_lpips_impl", "proxy"))
     for scene, bufs in scores.items():
+        if scene.startswith("_"):
+            continue
         for buf, ms in bufs.items():
             if ms["psnr"]:
                 print(scene, buf,
@@ -442,6 +474,14 @@ def main(argv=None):
     p.add_argument("--fast-vis-factor", type=float, default=2.0,
                    help="safety factor on the coarse certification "
                         "margin (>= 1; higher = more conservative)")
+    p.add_argument("--devices", default="1",
+                   help="'all' or a device count: shard the ray axis of "
+                        "each view's render over a device mesh (replaces "
+                        "the reference's per-process GPU split within one "
+                        "host; compose with --num-p/--p-i across hosts)")
+    p.add_argument("--pallas", action="store_true",
+                   help="use the fused pallas SDF kernel for the forward "
+                        "(no-grad) render passes")
     p.set_defaults(fn=cmd_gen_geo)
 
     p = sub.add_parser("decomp-train")
@@ -503,6 +543,9 @@ def main(argv=None):
                    help="test pass with batch%%09d/pred_rgb.png + "
                         "pred_embed.npy (e.g. .../pd_vq)")
     p.add_argument("--port", type=int, default=8008)
+    p.add_argument("--host", default="127.0.0.1",
+                   help="bind address; submits trigger server-side compute, "
+                        "so non-loopback exposure must be explicit")
     p.add_argument("--envs", default="original",
                    help="comma-separated illumination names the server "
                         "was started with")

@@ -20,7 +20,7 @@ import os
 import numpy as np
 from scipy.ndimage import convolve
 
-__all__ = ["psnr", "psnr_luma", "ssim", "lpips", "mse"]
+__all__ = ["psnr", "psnr_luma", "ssim", "lpips", "lpips_impl", "mse"]
 
 
 def _to_float(img):
@@ -110,9 +110,32 @@ def _lpips_proxy(im1, im2):
     return float(np.sqrt(pix) + np.sqrt(grad))
 
 
-def lpips(im1, im2):
+_PROXY_WARNED = False
+
+
+def lpips_impl():
+    """Which backend lpips() will use: "alexnet" (real LPIPS from
+    VQNERF_LPIPS_WEIGHTS) or "proxy" (gradient-domain substitute on a
+    DIFFERENT scale). Writers of metric JSONs record this next to every
+    "lpips" value so proxy and real scores are distinguishable downstream
+    (ADVICE r1: the silent fallback made them indistinguishable)."""
     weights_path = os.environ.get("VQNERF_LPIPS_WEIGHTS", "")
     if weights_path and os.path.exists(weights_path):
+        return "alexnet"
+    return "proxy"
+
+
+def lpips(im1, im2):
+    global _PROXY_WARNED
+    if lpips_impl() == "alexnet":
         from .lpips_net import lpips_from_weights
-        return lpips_from_weights(im1, im2, weights_path)
+        return lpips_from_weights(
+            im1, im2, os.environ["VQNERF_LPIPS_WEIGHTS"])
+    if not _PROXY_WARNED:
+        _PROXY_WARNED = True
+        import warnings
+        warnings.warn(
+            "VQNERF_LPIPS_WEIGHTS unset: 'lpips' values are the documented "
+            "gradient-domain proxy, not AlexNet LPIPS (different scale). "
+            "Output JSONs carry lpips_impl='proxy'.")
     return _lpips_proxy(im1, im2)

@@ -14,6 +14,8 @@ def metric_json_to_csv(json_path, csv_path):
         scores = json.load(f)
     rows = []
     for scene, bufs in scores.items():
+        if scene.startswith("_"):  # metadata keys (_lpips_impl)
+            continue
         row = {"scene": scene}
         for buf, ms in bufs.items():
             for m, vals in ms.items():

@@ -287,11 +287,15 @@ def make_handler(session: EditSession):
 
 
 def serve_edit_ui(root, views_dir, port=8008, envs=("original",),
-                  serve_forever=True):
+                  serve_forever=True, host="127.0.0.1"):
     """Start the web UI. With serve_forever=False, returns the bound
-    ThreadingHTTPServer (caller drives it — used by tests)."""
+    ThreadingHTTPServer (caller drives it — used by tests).
+
+    Binds loopback by default: POST /api/submit drives server-side file
+    writes and TPU compute, so remote exposure must be deliberate
+    (pass host="0.0.0.0" / cli --host)."""
     session = EditSession(root, views_dir, envs=envs)
-    httpd = ThreadingHTTPServer(("", port), make_handler(session))
+    httpd = ThreadingHTTPServer((host, port), make_handler(session))
     print(f"edit UI: http://localhost:{httpd.server_address[1]}/ "
           f"({len(session.batches)} views; protocol root {root})")
     if serve_forever:

@@ -116,6 +116,8 @@ def save_metas(outdir):
         for k in metrics:
             metrics[k].append(
                 float(np.mean(epoch_vals[k])) if epoch_vals[k] else None)
+    from ..eval.metrics import lpips_impl
+    metrics["lpips_impl"] = lpips_impl()
     with open(join(vali_root, "metas.json"), "w") as f:
         json.dump(metrics, f)
     return metrics
