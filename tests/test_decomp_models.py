@@ -177,6 +177,32 @@ def test_vq_fast_render_relight_and_edit():
         atol=1e-6)
 
 
+@pytest.mark.parametrize("base_cfg", [CFG, CFG_REAL], ids=["nerf", "dtu"])
+def test_fast_render_fused_agreement(base_cfg):
+    """use_fused_render=True must reproduce the jnp primary render in both
+    fast_render paths (the flag routes pd_test/raw_test/edit/video renders
+    through ops/pallas/render_kernel.py)."""
+    import dataclasses
+
+    cfg = base_cfg
+    cfg_fused = dataclasses.replace(cfg, use_fused_render=True)
+    params, ema, lxyz, lareas = _vq_setup(cfg)
+    batch = _batch(cfg, n=40, with_ref=True)  # 40 % 128 != 0: pads
+
+    a = vq_fast_render(params, batch, cfg, lxyz, lareas,
+                       opt_scale=jnp.asarray([1.1, 0.9, 1.0]))
+    b = vq_fast_render(params, batch, cfg_fused, lxyz, lareas,
+                       opt_scale=jnp.asarray([1.1, 0.9, 1.0]))
+    np.testing.assert_allclose(
+        np.asarray(a["rgb"]), np.asarray(b["rgb"]), rtol=2e-4, atol=2e-5)
+
+    rparams = init_ref_nfr(0, cfg, params, dc.get_light(params))
+    ra = ref_fast_render(rparams, batch, cfg, lxyz, lareas)
+    rb = ref_fast_render(rparams, batch, cfg_fused, lxyz, lareas)
+    np.testing.assert_allclose(
+        np.asarray(ra["rgb"]), np.asarray(rb["rgb"]), rtol=2e-4, atol=2e-5)
+
+
 def test_vq_fast_embed_and_vq_test():
     cfg = CFG
     params, ema, lxyz, lareas = _vq_setup(cfg)

@@ -176,6 +176,13 @@ def _run_decomp_train(args):
                           data_type=cfg.data_type, imh=cfg.imh,
                           white_bg=cfg.white_bg, mode=mode,
                           with_ref=with_ref)
+        if not ds.files:
+            raise SystemExit(
+                f"no {mode} views: expected {args.data_root}/"
+                f"{'train' if mode in ('train', 'render') else 'val'}_NNN/"
+                f"metadata.json (stage-2 interface) with buffers under "
+                f"{surf_root} — training on an empty dataset diverges "
+                "silently")
         return [ds.load_view(f) for f in ds.files]
 
     train_views = views("train")
@@ -238,6 +245,10 @@ def cmd_test(args):
     ds = ShapeDataset(args.data_root, surf_root, data_type=cfg.data_type,
                       imh=cfg.imh, white_bg=cfg.white_bg, mode="test",
                       with_ref=True)
+    if not ds.files:
+        raise SystemExit(
+            f"no test views: expected {args.data_root}/val_NNN/"
+            f"metadata.json with buffers under {surf_root}")
     outroot = os.path.join(ref_out, "vis_test", "latest")
     run_test(ref_state["params"], vq_state["params"], cfg, ds, outroot,
              args.test_envmap_dir,

@@ -77,6 +77,10 @@ class DecompConfig:
     random_seed: int = 2
     xyz_jitter_std: float = 0.01  # ref_nfr only
     keep_recent_epochs: int = -1  # <=0 keeps all (trainvali.py:163-167)
+    # inference: route the primary (single-envmap) render through the
+    # fused Pallas BRDF+integration kernel (ops/pallas/render_kernel.py);
+    # enable via --preset-override use_fused_render=True
+    use_fused_render: bool = False
 
     @property
     def light_res(self) -> Tuple[int, int]:

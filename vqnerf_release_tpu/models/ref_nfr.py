@@ -183,20 +183,29 @@ def ref_fast_render(params, batch, cfg: dc.DecompConfig, lxyz, lareas,
         spec = upd(spec, edit_material["spec"])
         rough = upd(rough, edit_material["rough"])
 
-    raw_brdf, _, _ = microfacet_brdf(
-        surf2l, surf2c, normal_pred, albedo=albedo, rough=rough, f0=spec)
     if opt_scale is not None:
         albedo_s, spec_s = albedo * opt_scale, spec * opt_scale
     else:
         albedo_s, spec_s = albedo, spec
-    brdf, _, _ = microfacet_brdf(
-        surf2l, surf2c, normal_pred, albedo=albedo_s, rough=rough, f0=spec_s)
+    relight = novel_probes is not None or novel_olat is not None
+    if relight:  # scaled BRDF only feeds the relighting passes
+        brdf, _, _ = microfacet_brdf(
+            surf2l, surf2c, normal_pred, albedo=albedo_s, rough=rough,
+            f0=spec_s)
 
     light = jax.lax.stop_gradient(params["frozen"]["light"])
     gamma = _gamma(params, cfg)
-    rgb_pred = render_equation(
-        raw_brdf, surf2l, normal_pred, lareas, light, light_vis=lvis,
-        gamma=gamma)
+    if cfg.use_fused_render and not relight:
+        from ..ops.render import fused_render_equation
+        rgb_pred = fused_render_equation(
+            xyz, normal_pred, surf2c, albedo, rough, spec, lvis,
+            lareas, lxyz, light, gamma=gamma)
+    else:
+        raw_brdf, _, _ = microfacet_brdf(
+            surf2l, surf2c, normal_pred, albedo=albedo, rough=rough, f0=spec)
+        rgb_pred = render_equation(
+            raw_brdf, surf2l, normal_pred, lareas, light, light_vis=lvis,
+            gamma=gamma)
 
     m = mask[:, None]
     pred = {

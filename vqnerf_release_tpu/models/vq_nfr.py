@@ -315,13 +315,22 @@ def vq_fast_render(params, batch, cfg: dc.DecompConfig, lxyz, lareas,
     else:
         s_albedo, s_spec = albedo, spec
 
-    brdf, _, _ = microfacet_brdf(
-        surf2l, surf2c, normal_pred, albedo=s_albedo, rough=rough, f0=s_spec)
-
     light = dc.get_light(params) if dst_env is None else dst_env
     gamma = None if cfg.is_nerf else dc.get_gamma(params)
-    rgb_pred = render_equation(
-        brdf, surf2l, normal_pred, lareas, light, light_vis=lvis, gamma=gamma)
+    relight = novel_probes is not None or novel_olat is not None
+    if cfg.use_fused_render and not relight:
+        # fused kernel: no [N, L, 3] brdf tensor in HBM
+        from ..ops.render import fused_render_equation
+        rgb_pred = fused_render_equation(
+            xyz, normal_pred, surf2c, s_albedo, rough, s_spec, lvis,
+            lareas, lxyz, light, gamma=gamma)
+    else:
+        brdf, _, _ = microfacet_brdf(
+            surf2l, surf2c, normal_pred, albedo=s_albedo, rough=rough,
+            f0=s_spec)
+        rgb_pred = render_equation(
+            brdf, surf2l, normal_pred, lareas, light, light_vis=lvis,
+            gamma=gamma)
 
     if opt_scale is not None and vis_scale:
         basecolor = linear2srgb(basecolor) * opt_scale

@@ -11,11 +11,12 @@ clip-preserve-gradient tonemapping to [0, 1].
 relighting passes — one fused einsum instead of a per-probe Python loop).
 """
 
+import jax
 import jax.numpy as jnp
 
 from .math import clip_preserve_gradient
 
-__all__ = ["render_equation"]
+__all__ = ["render_equation", "fused_render_equation"]
 
 
 def render_equation(brdf, surf2l, normal, lareas, light, light_vis=None,
@@ -57,3 +58,37 @@ def render_equation(brdf, surf2l, normal, lareas, light, light_vis=None,
     light_flat = light.reshape(-1, 3)  # Lx3
     rgb = jnp.einsum("nlc,lc->nc", contrib_w, light_flat)
     return finish(rgb)
+
+
+def fused_render_equation(xyz, normal, surf2c, albedo, rough, f0, lvis,
+                          lareas, lxyz, light, gamma=None):
+    """Single-envmap render through the fused Pallas BRDF+integration
+    kernel (ops/pallas/render_kernel.py) instead of materializing the
+    [N, L, 3] brdf/contribution tensors in HBM. Numerically matches
+    microfacet_brdf + render_equation (agreement-tested); used by the
+    inference fast_render paths when DecompConfig.use_fused_render is on.
+
+    Handles ray padding to the kernel block size and lvis=None; applies
+    the same gamma/tonemap tail as render_equation."""
+    from .pallas.render_kernel import (BLOCK_RAYS, fused_brdf_render,
+                                       pack_lights)
+
+    n = xyz.shape[0]
+    l = lxyz.shape[0]
+    if lvis is None:
+        lvis = jnp.ones((n, l), jnp.float32)
+    pad = (-n) % BLOCK_RAYS
+    if pad:
+        def p(a):
+            return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+        xyz, normal, surf2c, albedo, rough, f0, lvis = map(
+            p, (xyz, normal, surf2c, albedo, rough, f0, lvis))
+    packed = pack_lights(lxyz, lareas, light.reshape(-1, 3))
+    rgb = fused_brdf_render(
+        xyz, normal, surf2c, albedo, rough, f0, lvis, packed,
+        interpret=jax.default_backend() != "tpu")
+    rgb = rgb[:n]
+    if gamma is not None:
+        g_bias, g_index = gamma
+        rgb = jnp.maximum(rgb * g_bias, 1e-12) ** g_index
+    return clip_preserve_gradient(rgb, 0.0, 1.0)
