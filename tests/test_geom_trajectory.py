@@ -15,11 +15,17 @@ def test_world2local_frames():
     assert frames.shape == (16, 3, 3)
     for i in range(16):
         F = frames[i]
-        np.testing.assert_allclose(F @ F.T, np.eye(3), atol=1e-10)
-        np.testing.assert_allclose(F[2], n[i], atol=1e-10)
-    # degenerate: normal parallel to up axis
+        # the reference construction nudges the up axis by eps=1e-6
+        # (geom.py:71), so frames are orthonormal only to ~eps
+        np.testing.assert_allclose(F @ F.T, np.eye(3), atol=5e-6)
+        np.testing.assert_allclose(F[2], n[i], atol=1e-6)
+    # degenerate: normal colinear with +Z. The reference keeps this finite
+    # via the eps nudge but the tangent collapses toward zero under
+    # tf.l2_normalize's epsilon floor (geom.py:71-78 + math.py:63) — we
+    # reproduce that exactly rather than inventing a fallback.
     f = world2local(np.array([[0.0, 0.0, 1.0]]))
-    np.testing.assert_allclose(f[0] @ f[0].T, np.eye(3), atol=1e-10)
+    assert np.isfinite(f).all()
+    np.testing.assert_allclose(f[0, 2], [0.0, 0.0, 1.0], atol=1e-6)
 
 
 def test_slerp_endpoints_and_midpoint():

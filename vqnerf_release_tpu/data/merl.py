@@ -36,10 +36,13 @@ def read_merl(path):
 def rusink_angles(wi, wo, n, t=None):
     """(theta_h, theta_d, phi_d) from in/out dirs and normal.
 
-    wi/wo [N,3] unit, n [N,3] unit, optional tangent t. Standard
-    Rusinkiewicz: h = normalize(wi+wo); theta_h = angle(n,h); rotate wi
-    into the h frame -> diff vector d; theta_d = acos(d.z),
-    phi_d = atan2(d.y, d.x) wrapped to [0, pi).
+    wi/wo [N,3] unit, n [N,3] unit, optional tangent t. Matches the
+    reference `dir2rusink` (nerfactor/util/geom.py:95-134, which rotates
+    its SECOND argument — pass the rotated direction as ``wi``):
+    h = normalize(wi+wo); theta_h/phi_h from h in the (t, b, n) frame;
+    diff = Ry(-theta_h) @ Rz(-phi_h) @ wi_local; theta_d = acos(diff.z);
+    phi_d = atan2(diff.y, diff.x) mod pi. Parity-tested against the
+    reference in tests/test_reference_parity.py.
     """
     wi = wi / np.linalg.norm(wi, axis=-1, keepdims=True)
     wo = wo / np.linalg.norm(wo, axis=-1, keepdims=True)
@@ -57,17 +60,23 @@ def rusink_angles(wi, wo, n, t=None):
         t = t / np.linalg.norm(t, axis=-1, keepdims=True)
     b = np.cross(n, t)
 
-    cos_th = np.clip(np.sum(n * h, axis=-1), -1, 1)
-    theta_h = np.arccos(cos_th)
+    # local coordinates (rows t, b, n)
+    def local(v):
+        return np.stack([np.sum(v * t, axis=-1), np.sum(v * b, axis=-1),
+                         np.sum(v * n, axis=-1)], axis=-1)
 
-    # h-frame basis: h, th = normalize(t - (t.h)h), bh = h x th
-    th = t - np.sum(t * h, axis=-1, keepdims=True) * h
-    th = th / np.maximum(np.linalg.norm(th, axis=-1, keepdims=True), 1e-12)
-    bh = np.cross(h, th)
-    d = np.stack([
-        np.sum(wi * th, axis=-1),
-        np.sum(wi * bh, axis=-1),
-        np.sum(wi * h, axis=-1)], axis=-1)
+    hl, wil = local(h), local(wi)
+    theta_h = np.arccos(np.clip(hl[:, 2], -1, 1))
+    phi_h = np.arctan2(hl[:, 1], hl[:, 0])
+
+    # diff = Ry(-theta_h) @ Rz(-phi_h) @ wil (geom.py:120-127)
+    c, s = np.cos(-phi_h), np.sin(-phi_h)
+    x1 = c * wil[:, 0] - s * wil[:, 1]
+    y1 = s * wil[:, 0] + c * wil[:, 1]
+    z1 = wil[:, 2]
+    ct, st = np.cos(-theta_h), np.sin(-theta_h)
+    d = np.stack([ct * x1 + st * z1, y1, -st * x1 + ct * z1], axis=-1)
+
     theta_d = np.arccos(np.clip(d[:, 2], -1, 1))
     phi_d = np.arctan2(d[:, 1], d[:, 0]) % np.pi
     return theta_h, theta_d, phi_d

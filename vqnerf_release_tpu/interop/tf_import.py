@@ -85,8 +85,10 @@ def _value_keys(reader):
 
 def _collect_mlp(reader, keys, name, n_layers):
     """[{'w','b'}] for the ``net_<name>_layer<i>`` Dense aliases."""
+    # TF 2.4-era keras names the Dense weight 'kernel'; modern keras uses
+    # '_kernel' — accept both so checkpoints written by either era import
     pat = re.compile(
-        r"(?:^|/)net_%s_layer(\d+)/(kernel|bias)%s"
+        r"(?:^|/)net_%s_layer(\d+)/_?(kernel|bias)%s"
         % (re.escape(name), _SUFFIX))
     found = {}
     for k in keys:
@@ -174,12 +176,12 @@ def infer_decomp_config(path, phase="vq_nfr", data_type=None, **overrides):
     cfg_kw = {}
     if phase == "ref_nfr":
         cfg_kw["z_dim"] = shape_of(
-            r"(?:^|/)net_rgb_enc_layer0/kernel" + _SUFFIX)[1]
+            r"(?:^|/)net_rgb_enc_layer0/_?kernel" + _SUFFIX)[1]
     else:
         cfg_kw["mlp_width"] = shape_of(
-            r"(?:^|/)net_fine_enc_layer0/kernel" + _SUFFIX)[1]
+            r"(?:^|/)net_fine_enc_layer0/_?kernel" + _SUFFIX)[1]
         cfg_kw["z_dim"] = shape_of(
-            r"(?:^|/)net_bottleneck_layer2/kernel" + _SUFFIX)[1]
+            r"(?:^|/)net_bottleneck_layer2/_?kernel" + _SUFFIX)[1]
     cfg_kw["light_h"] = shape_of(r"(?:^|/)_light" + _SUFFIX)[0]
     if phase == "vq_nfr":
         num_embed = shape_of(r"(?:^|/)_codebook" + _SUFFIX)[1]

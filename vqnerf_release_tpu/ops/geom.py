@@ -11,20 +11,25 @@ import numpy as np
 __all__ = ["world2local", "slerp_rotations", "interpolate_pose"]
 
 
+def _tf_l2_normalize(x, eps=1e-6):
+    """tf.linalg.l2_normalize semantics: x * rsqrt(max(sum(x^2), eps))."""
+    sq = np.sum(np.square(x), axis=-1, keepdims=True)
+    return x / np.sqrt(np.maximum(sq, eps))
+
+
 def world2local(normal, eps=1e-6):
     """Orthonormal tangent frames [N, 3, 3] (rows: t, b, n) from normals.
 
-    Matches geom.py's construction: tangent from crossing the normal with
-    a fixed up-axis, falling back where parallel.
+    Exactly the reference construction (geom.py:63-92 gen_world2local):
+    tangent = cross(normal, (0,0,1)+eps) — the eps nudge on the up axis is
+    what makes normals colinear with +Z well-defined — then binormal =
+    cross(normal, tangent); parity-tested against the reference in
+    tests/test_reference_parity.py.
     """
-    n = normal / np.maximum(
-        np.linalg.norm(normal, axis=-1, keepdims=True), eps)
-    up = np.tile([[0.0, 0.0, 1.0]], (n.shape[0], 1))
-    parallel = np.abs(np.sum(n * up, axis=-1)) > 1.0 - 1e-4
-    up[parallel] = [1.0, 0.0, 0.0]
-    t = np.cross(up, n)
-    t = t / np.maximum(np.linalg.norm(t, axis=-1, keepdims=True), eps)
-    b = np.cross(n, t)
+    n = _tf_l2_normalize(np.asarray(normal, np.float64), eps)
+    z = np.tile([[eps, eps, 1.0 + eps]], (n.shape[0], 1))
+    t = _tf_l2_normalize(np.cross(n, z), eps)
+    b = _tf_l2_normalize(np.cross(n, t), eps)
     return np.stack([t, b, n], axis=1)
 
 

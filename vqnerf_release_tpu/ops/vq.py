@@ -46,7 +46,8 @@ def _ema_update(hidden, value, counter, decay):
     return new_hidden, debiased
 
 
-def vq_lookup(codebook, flat_inputs, thres=None, rng=None, mask=None):
+def vq_lookup(codebook, flat_inputs, thres=None, rng=None, mask=None,
+              roll=None):
     """Nearest-code assignment with optional random code dropout.
 
     Args:
@@ -54,9 +55,12 @@ def vq_lookup(codebook, flat_inputs, thres=None, rng=None, mask=None):
       flat_inputs: [N, D]
       thres: None, or [K] (or scalar) dropout thresholds; a code is usable
              only where U(0,1) >= thres (vq_layers.py:284-290)
-      rng: PRNG key (required when thres is given)
+      rng: PRNG key (required when thres is given and roll is None)
       mask: optional [N] validity weights; invalid rows still get an argmin
             but callers must weight them out of any statistics
+      roll: optional explicit [1, K] uniforms overriding the rng draw
+            (deterministic dropout — used by the reference-parity tests,
+            where the TF and JAX RNG streams cannot be aligned)
     Returns dict with encoding_indices [N], encodings [N, K],
       quantized [N, D] (no straight-through), distances [N, K].
     """
@@ -68,7 +72,8 @@ def vq_lookup(codebook, flat_inputs, thres=None, rng=None, mask=None):
 
     if thres is not None:
         mask_value = jnp.max(distances)
-        roll = jax.random.uniform(rng, (1, codebook.shape[1]))
+        if roll is None:
+            roll = jax.random.uniform(rng, (1, codebook.shape[1]))
         sel_mask = (roll >= thres).astype(distances.dtype)
         distances = distances * sel_mask + mask_value * (1.0 - sel_mask)
 
@@ -86,7 +91,7 @@ def vq_lookup(codebook, flat_inputs, thres=None, rng=None, mask=None):
 
 def vq_ema_apply(codebook, flat_inputs, ema_state, *, commitment_cost,
                  decay=0.999, epsilon=1e-5, is_training=True, thres=None,
-                 rng=None, mask=None):
+                 rng=None, mask=None, roll=None):
     """Full VQ-EMA step (forward + codebook update proposal).
 
     Returns (outs, new_ema_state). ``outs`` keys:
@@ -102,7 +107,7 @@ def vq_ema_apply(codebook, flat_inputs, ema_state, *, commitment_cost,
     n = flat_inputs.shape[0]
     if mask is None:
         mask = jnp.ones((n,), flat_inputs.dtype)
-    look = vq_lookup(codebook, flat_inputs, thres=thres, rng=rng)
+    look = vq_lookup(codebook, flat_inputs, thres=thres, rng=rng, roll=roll)
     encodings = look["encodings"] * mask[:, None]
     quantized = look["quantized"]
 
