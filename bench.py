@@ -1,15 +1,26 @@
-"""Benchmark: decomposition-stage training throughput (rays/sec/chip).
+"""Benchmark harness: the four production hot paths, one JSON line.
 
-Runs the full vq_nfr training step (forward over 512 lights + all seven
-losses + grads + amsgrad + EMA codebook update) at the reference's
-production shapes (z_dim=256, 15 codes, light 16x32, 2048 rays/step =
-1024 jitter pairs; config/vq_nfr.ini + scripts/train/vq_nerf.sh) on
-whatever accelerator JAX sees, and prints one JSON line.
+Metrics (all at the reference's production shapes):
+  1. decomp_train_rays_per_sec — full vq_nfr training step (forward over
+     512 lights + all seven losses + grads + amsgrad + EMA codebook
+     update; z_dim=256, 15 codes, 2048 rays/step = 1024 jitter pairs;
+     config/vq_nfr.ini + scripts/train/vq_nerf.sh).
+  2. geo_train_rays_per_sec — full NeuS training step (2560-ray batch,
+     64 uniform + 64 importance samples, 4 up-sample rounds,
+     grad-of-grad Eikonal; confs/nerf.conf).
+  3. lvis_shadow_rays_per_sec — occlusion-only render for light
+     visibility extraction (gen_geo compute_vis, 512 lights/pixel).
+  4. relight_ray_envs_per_sec — vq_fast_render of one 512^2 view's
+     foreground (65k rays) relit simultaneously under 16 probes +
+     4 OLATs (test.py pd_relit pass).
 
-vs_baseline compares against REFERENCE_RAYS_PER_SEC — an ESTIMATE of the
-reference's single-GPU TF-eager vq trainer throughput (the repo publishes
-no numbers; see BASELINE.md). Replace with a measured value when one
-exists.
+Output: ONE JSON line. Top-level fields are the headline metric
+(decomp train — the flagship model's step); the "metrics" array carries
+all four entries, each {"metric","value","unit","vs_baseline"}.
+
+vs_baseline compares against ESTIMATES of the reference's single-GPU
+throughput — the repo publishes no numbers (BASELINE.md documents each
+estimate's derivation). Replace with measured values when they exist.
 """
 
 import json
@@ -21,10 +32,39 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-REFERENCE_RAYS_PER_SEC = 4000.0  # estimated; see BASELINE.md
+# Reference single-GPU estimates (see BASELINE.md "Measured reference"
+# rows for derivations; the reference repo publishes no benchmarks):
+#  * decomp train: TF-eager vq trainer, ~0.5 s per 2048-ray step.
+#  * geo train: published NeuS timings, ~0.2-0.35 s per 2560-ray iter.
+#  * lvis: lpix_chunk=1 loop; ~50 GB/scene over "several days" on
+#    multiple GPUs (README.md:43) -> ~1e4 shadow rays/s/GPU.
+#  * relight: eager TF fast_render, python loop over 20 envmaps with
+#    50k-ray BRDF chunks -> order 2e6 ray-envs/s (rough).
+REF_DECOMP_RAYS_PER_SEC = 4000.0
+REF_GEO_RAYS_PER_SEC = 9000.0
+REF_LVIS_RAYS_PER_SEC = 10000.0
+REF_RELIGHT_RAY_ENVS_PER_SEC = 2.0e6
 
 
-def main():
+def _best_window(fn, n_iters, n_windows, sync):
+    """Fastest of n_windows timing windows of n_iters calls each.
+
+    The axon tunnel adds sporadic multi-ms stalls, so the best window is
+    the closest estimate of steady-state chip throughput. `sync` must
+    force a host transfer of a value depending on the full chain —
+    under the tunnel jax.block_until_ready is NOT a barrier.
+    """
+    best_dt = float("inf")
+    for _ in range(n_windows):
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            fn()
+        sync()
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    return best_dt
+
+
+def bench_decomp_train():
     import jax
     import jax.numpy as jnp
 
@@ -33,8 +73,8 @@ def main():
     from vqnerf_release_tpu.models.vq_nfr import init_vq_nfr
     from vqnerf_release_tpu.train.decomp_trainer import make_vq_nfr_step
 
-    cfg = dc.DecompConfig()  # production defaults: z_dim 256, 15 codes, 512 lights
-    n_rays = 2 * cfg.n_rays_per_step  # 2048 (pairs)
+    cfg = dc.DecompConfig()  # production: z_dim 256, 15 codes, 512 lights
+    n_rays = 2 * cfg.n_rays_per_step  # 2048 (jitter pairs)
 
     lxyz, lareas = dc.light_constants(cfg)
     nfr_params = init_nfr_unit(0, cfg)
@@ -45,6 +85,7 @@ def main():
     opt_state = tx.init(params)
 
     rs = np.random.RandomState(0)
+    normal = rs.randn(n_rays, 3)
     batch = {
         "rayo": jnp.asarray(
             np.tile([[0, 0, 3.0]], (n_rays, 1)), jnp.float32),
@@ -54,48 +95,201 @@ def main():
         "pred_alpha": jnp.ones((n_rays, 1), jnp.float32),
         "xyz": jnp.asarray(rs.rand(n_rays, 3) - 0.5, jnp.float32),
         "normal": jnp.asarray(
-            rs.randn(n_rays, 3)
-            / np.linalg.norm(rs.randn(n_rays, 3), axis=1, keepdims=True),
+            normal / np.linalg.norm(normal, axis=1, keepdims=True),
             jnp.float32),
         "lvis": jnp.asarray(rs.rand(n_rays, cfg.n_lights), jnp.float32),
     }
     thres = jnp.asarray(cfg.train_thres())
 
-    def run_step(params, ema_state, opt_state, step):
-        rng = jax.random.PRNGKey(step)
-        return step_fn(params, ema_state, opt_state, batch, thres, rng,
-                       jnp.asarray(step, jnp.float32))
+    state = {"params": params, "ema": ema_state, "opt": opt_state,
+             "ld": None, "step": 0}
 
-    # Warm-up / compile. NOTE: under the axon tunnel block_until_ready is
-    # not a reliable barrier — a host transfer of a value that depends on
-    # the full chain is, so timings close over float(loss).
-    params, ema_state, opt_state, ld = run_step(params, ema_state,
-                                                opt_state, 0)
-    float(ld["loss"])
+    def run_step():
+        rng = jax.random.PRNGKey(state["step"])
+        (state["params"], state["ema"], state["opt"],
+         state["ld"]) = step_fn(
+            state["params"], state["ema"], state["opt"], batch, thres,
+            rng, jnp.asarray(state["step"], jnp.float32))
+        state["step"] += 1
 
-    # The tunnel adds sporadic multi-ms stalls (observed 184k-283k rays/s
-    # for identical programs), so time several windows and report the
-    # fastest — the best window is the closest estimate of the chip's
-    # actual steady-state throughput.
-    n_iters, n_windows = 30, 4
-    step = 1
-    best_dt = float("inf")
-    for _ in range(n_windows):
-        t0 = time.perf_counter()
-        for _i in range(n_iters):
-            params, ema_state, opt_state, ld = run_step(
-                params, ema_state, opt_state, step)
-            step += 1
-        float(ld["loss"])  # forces completion of the whole chain
-        best_dt = min(best_dt, time.perf_counter() - t0)
+    run_step()
+    float(state["ld"]["loss"])  # compile + sync
+    n_iters = 30
+    dt = _best_window(run_step, n_iters, 4,
+                      lambda: float(state["ld"]["loss"]))
+    v = n_rays * n_iters / dt
+    return {"metric": "decomp_train_rays_per_sec", "value": round(v, 1),
+            "unit": "rays/s/chip",
+            "vs_baseline": round(v / REF_DECOMP_RAYS_PER_SEC, 2)}
 
-    rays_per_sec = n_rays * n_iters / best_dt
-    print(json.dumps({
-        "metric": "decomp_train_rays_per_sec",
-        "value": round(rays_per_sec, 1),
-        "unit": "rays/s/chip",
-        "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 2),
-    }))
+
+def _geo_batch(n, seed=1):
+    rs = np.random.RandomState(seed)
+    d = rs.randn(n, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return {
+        "rays_o": np.tile(np.array([[0, 0, 3.0]], np.float32), (n, 1)),
+        "rays_d": d,
+        "rgb": np.full((n, 3), 0.6, np.float32),
+        "mask": np.ones((n, 1), np.float32),
+        "near": np.full((n, 1), 2.0, np.float32),
+        "far": np.full((n, 1), 6.0, np.float32),
+        "valid": np.ones((n, 1), np.float32),
+    }
+
+
+def bench_geo_train():
+    import jax
+    import jax.numpy as jnp
+
+    from vqnerf_release_tpu.config import neus_configs_for_scene
+    from vqnerf_release_tpu.models.neus import init_neus
+    from vqnerf_release_tpu.train.neus_trainer import (
+        init_neus_opt_state, make_neus_train_step)
+
+    ncfg, tcfg, _ = neus_configs_for_scene("lego")
+    n_rays = tcfg.batch_size  # 2560
+
+    params = init_neus(0, ncfg)
+    opt = init_neus_opt_state(params)
+    step_fn = jax.jit(make_neus_train_step(ncfg, tcfg, radius=1.0))
+    batch = {k: jnp.asarray(v) for k, v in _geo_batch(n_rays).items()}
+
+    state = {"params": params, "opt": opt, "m": None, "step": 0}
+
+    def run_step():
+        (state["params"], state["opt"], state["m"]) = step_fn(
+            state["params"], state["opt"], batch,
+            jax.random.PRNGKey(state["step"]),
+            jnp.asarray(float(state["step"])))
+        state["step"] += 1
+
+    run_step()
+    float(state["m"]["loss"])
+    n_iters = 10
+    dt = _best_window(run_step, n_iters, 3,
+                      lambda: float(state["m"]["loss"]))
+    v = n_rays * n_iters / dt
+    return {"metric": "geo_train_rays_per_sec", "value": round(v, 1),
+            "unit": "rays/s/chip",
+            "vs_baseline": round(v / REF_GEO_RAYS_PER_SEC, 2)}
+
+
+def bench_lvis():
+    import jax
+    import jax.numpy as jnp
+
+    from vqnerf_release_tpu.config import neus_configs_for_scene
+    from vqnerf_release_tpu.models.neus import init_neus, neus_occlusion
+    from vqnerf_release_tpu.pipelines.gen_geo import intersect_sphere_far
+
+    ncfg, _, _ = neus_configs_for_scene("lego")
+    params = init_neus(0, ncfg)
+    radius = 1.0
+    # one light-tile dispatch (gen_geo _vis_batch scan body:
+    # vis_point_batch=64 x light_tile=128); larger single dispatches OOM
+    # the fp32 [rays*samples, 256] vjp temporaries on a 16G chip
+    n = 8192
+
+    @jax.jit
+    def occ(params, o, d):
+        far = intersect_sphere_far(o, d, radius)
+        near = jnp.minimum(jnp.full_like(far, 0.1), far / 2.0)
+        return neus_occlusion(params, ncfg, o, d, near, far, radius,
+                              cos_anneal_ratio=1.0)
+
+    rs = np.random.RandomState(2)
+    o = rs.rand(n, 3).astype(np.float32) * 0.8 - 0.4
+    d = rs.randn(n, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+
+    out = {"v": occ(params, o, d)}
+    float(out["v"].ravel()[0])
+
+    def run():
+        out["v"] = occ(params, o, d)
+
+    n_iters = 12
+    dt = _best_window(run, n_iters, 3, lambda: float(out["v"].ravel()[0]))
+    v = n * n_iters / dt
+    return {"metric": "lvis_shadow_rays_per_sec", "value": round(v, 1),
+            "unit": "rays/s/chip",
+            "vs_baseline": round(v / REF_LVIS_RAYS_PER_SEC, 2)}
+
+
+def bench_relight():
+    import jax
+    import jax.numpy as jnp
+
+    from vqnerf_release_tpu.models import decomp_common as dc
+    from vqnerf_release_tpu.models.nfr_unit import init_nfr_unit
+    from vqnerf_release_tpu.models.vq_nfr import init_vq_nfr, vq_fast_render
+
+    cfg = dc.DecompConfig()
+    lxyz, lareas = dc.light_constants(cfg)
+    nfr_params = init_nfr_unit(0, cfg)
+    centers = np.random.RandomState(0).rand(
+        cfg.num_embed, cfg.z_dim).astype(np.float32)
+    params, _ = init_vq_nfr(0, cfg, nfr_params, centers)
+
+    n = 65536  # ~one 512^2 view's foreground
+    n_probes, n_olat = 16, 4
+    rs = np.random.RandomState(3)
+    normal = rs.randn(n, 3)
+    batch = {
+        "rayo": jnp.asarray(np.tile([[0, 0, 3.0]], (n, 1)), jnp.float32),
+        "rayd": jnp.asarray(rs.randn(n, 3), jnp.float32),
+        "alpha": jnp.ones((n, 1), jnp.float32),
+        "xyz": jnp.asarray(rs.rand(n, 3) - 0.5, jnp.float32),
+        "normal": jnp.asarray(
+            normal / np.linalg.norm(normal, axis=1, keepdims=True),
+            jnp.float32),
+        "lvis": jnp.asarray(rs.rand(n, cfg.n_lights), jnp.float32),
+    }
+    probes = jnp.asarray(
+        rs.rand(n_probes, cfg.n_lights, 3), jnp.float32)
+    olat = jnp.asarray(rs.rand(n_olat, cfg.n_lights, 3), jnp.float32)
+
+    @jax.jit
+    def render(params, batch):
+        return vq_fast_render(params, batch, cfg, lxyz, lareas,
+                              novel_probes=probes, novel_olat=olat)
+
+    out = {"p": render(params, batch)}
+    float(out["p"]["rgb_probes"][0, 0, 0])
+
+    def run():
+        out["p"] = render(params, batch)
+
+    n_iters = 20
+    dt = _best_window(run, n_iters, 3,
+                      lambda: float(out["p"]["rgb_probes"][0, 0, 0]))
+    v = n * (n_probes + n_olat) * n_iters / dt
+    return {"metric": "relight_ray_envs_per_sec", "value": round(v, 1),
+            "unit": "ray-envs/s/chip",
+            "vs_baseline": round(v / REF_RELIGHT_RAY_ENVS_PER_SEC, 2)}
+
+
+def main():
+    metrics = []
+    for fn in (bench_decomp_train, bench_geo_train, bench_lvis,
+               bench_relight):
+        try:
+            metrics.append(fn())
+        except Exception as e:  # keep the line parseable on partial failure
+            metrics.append({"metric": fn.__name__.replace("bench_", ""),
+                            "error": f"{type(e).__name__}: {e}"})
+    head = next((m for m in metrics
+                 if m.get("metric") == "decomp_train_rays_per_sec"
+                 and "value" in m), None)
+    if head is None:
+        head = next((m for m in metrics if "value" in m),
+                    {"metric": "all_failed", "value": 0.0,
+                     "unit": "rays/s/chip", "vs_baseline": 0.0})
+    line = dict(head)
+    line["metrics"] = metrics
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

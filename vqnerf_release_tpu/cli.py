@@ -93,9 +93,19 @@ def _gen_geo_mesh(devices_arg):
 
 def cmd_gen_geo(args):
     from .data.neus_dataset import DtuSceneDataset, NerfSceneDataset
+    from .parallel.distributed import compose_view_shard, init_distributed
     from .pipelines.gen_geo import GeoExtractor
     from .models.neus import init_neus
     from .utils import ckpt as ckpt_util
+
+    # Multi-host: join the process group BEFORE any backend use, then
+    # fold the host grid into the view shard (reference: N independent
+    # --num_p/--p_i processes, gen_geo.py:141-146).
+    proc_i, proc_n = init_distributed(
+        coordinator=getattr(args, "coordinator", None),
+        num_hosts=getattr(args, "num_hosts", None),
+        host_id=getattr(args, "host_id", None))
+    num_p, p_i = compose_view_shard(args.num_p, args.p_i, proc_i, proc_n)
 
     cfg, tcfg, meta = _geo_cfgs(args)
     mk = DtuSceneDataset if meta["family"] in ("dtu", "ours") \
@@ -115,7 +125,12 @@ def cmd_gen_geo(args):
     no_vis = args.no_vis or args.scene not in vcfg.CG_SCENES
     out_dir = vcfg.surf_dir(
         os.path.join(args.output_root, "surf"), args.scene)
-    mesh = _gen_geo_mesh(getattr(args, "devices", "1"))
+    devices_arg = getattr(args, "devices", None)
+    if proc_n > 1:
+        from .parallel.distributed import local_mesh
+        mesh = local_mesh(devices_arg or "all")
+    else:
+        mesh = _gen_geo_mesh(devices_arg or "1")
     for is_train in (True, False):
         ds = mk(args.data_root, is_train=is_train,
                 new_h=meta["new_h"], **kwargs)
@@ -125,8 +140,8 @@ def cmd_gen_geo(args):
                           fast_vis_factor=args.fast_vis_factor,
                           use_pallas=getattr(args, "pallas", False),
                           mesh=mesh)
-        ex.extract_views(is_train=is_train, num_p=args.num_p,
-                         p_i=args.p_i, no_vis=no_vis)
+        ex.extract_views(is_train=is_train, num_p=num_p,
+                         p_i=p_i, no_vis=no_vis)
 
 
 def _apply_preset_overrides(cfg, override_str):
@@ -485,14 +500,26 @@ def main(argv=None):
     p.add_argument("--fast-vis-factor", type=float, default=2.0,
                    help="safety factor on the coarse certification "
                         "margin (>= 1; higher = more conservative)")
-    p.add_argument("--devices", default="1",
+    p.add_argument("--devices", default=None,
                    help="'all' or a device count: shard the ray axis of "
                         "each view's render over a device mesh (replaces "
                         "the reference's per-process GPU split within one "
-                        "host; compose with --num-p/--p-i across hosts)")
+                        "host; compose with --num-p/--p-i across hosts). "
+                        "Default: 1 single-host, 'all' with --num-hosts")
     p.add_argument("--pallas", action="store_true",
                    help="use the fused pallas SDF kernel for the forward "
                         "(no-grad) render passes")
+    p.add_argument("--num-hosts", type=int, default=None,
+                   help="join a jax.distributed process group of this "
+                        "many hosts; views shard across hosts, rays "
+                        "across each host's local devices (auto-detected "
+                        "on Cloud TPU pods when --coordinator is given "
+                        "alone)")
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of the jax.distributed coordinator "
+                        "(process 0)")
+    p.add_argument("--host-id", type=int, default=None,
+                   help="this host's process index in the group")
     p.set_defaults(fn=cmd_gen_geo)
 
     p = sub.add_parser("decomp-train")
