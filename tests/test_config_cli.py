@@ -66,7 +66,9 @@ def test_cli_parsing(tmp_path):
     from vqnerf_release_tpu.cli import main
     with pytest.raises(SystemExit):
         main([])  # missing subcommand
-    with pytest.raises(FileNotFoundError):
+    # empty/missing dataset fails fast with an actionable message
+    # (previously trained an empty epoch and died on non-finite loss)
+    with pytest.raises(SystemExit, match="no train views"):
         main(["decomp-train", "lego_3072", "--data-root",
               str(tmp_path / "none"), "--phase", "vq_nfr"])
 
