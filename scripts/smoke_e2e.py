@@ -106,6 +106,13 @@ def main():
     ap.add_argument("--light-h", type=int, default=4)
     ap.add_argument("--fast-vis", action="store_true",
                     help="use the two-pass lvis extractor")
+    ap.add_argument("--geo-sampler", default="40+40r4",
+                    help="stage-1 sampling config 'N+MrK' (n_samples + "
+                         "n_importance, K up-sample rounds) — guardrail "
+                         "handle for the throughput configs")
+    ap.add_argument("--occ-res", type=int, default=0,
+                    help="stage-1 occupancy-guided sampling grid "
+                         "resolution (0 = reference uniform init)")
     args = ap.parse_args()
 
     from vqnerf_release_tpu.data.neus_dataset import NerfSceneDataset
@@ -127,11 +134,19 @@ def main():
     # ---- stage 1
     t0 = time.time()
     ds = NerfSceneDataset(scene_dir, is_train=True, near=1.2, far=3.5)
-    cfg1 = NeuSConfig(n_samples=40, n_importance=40, up_sample_steps=4)
+    import re
+    m = re.fullmatch(r"(\d+)\+(\d+)r(\d+)", args.geo_sampler)
+    assert m, "--geo-sampler must look like 40+40r4"
+    cfg1 = NeuSConfig(n_samples=int(m.group(1)),
+                      n_importance=int(m.group(2)),
+                      up_sample_steps=int(m.group(3)))
+    print(f"== stage-1 sampler {args.geo_sampler}"
+          + (f" + occ grid {args.occ_res}^3" if args.occ_res else ""))
     tcfg = NeuSTrainConfig(end_iter=args.geo_iters,
                            warm_up_end=max(args.geo_iters // 10, 1),
                            batch_size=1024, save_freq=10**9,
-                           val_freq=10**9, use_white_bkgd=True)
+                           val_freq=10**9, use_white_bkgd=True,
+                           occ_res=args.occ_res)
     runner = NeuSRunner(cfg1, tcfg, ds, join(root, "exp"), seed=0)
     runner.train(log_every=max(args.geo_iters // 8, 1))
     img, wsum = runner.validate_image(0)

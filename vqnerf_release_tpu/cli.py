@@ -30,8 +30,24 @@ def _geo_cfgs(args):
     from .models.neus import NeuSConfig
 
     cfg, tcfg, meta = vcfg.neus_configs_for_scene(args.scene)
-    tcfg = _apply_preset_overrides(
-        tcfg, getattr(args, "geo_override", ""))
+    # --geo-override keys route to whichever config owns them:
+    # NeuSTrainConfig (lr, occ_res, ...) or NeuSConfig (n_samples,
+    # n_importance, up_sample_steps, ...)
+    override = getattr(args, "geo_override", "")
+    if override:
+        t_kvs, m_kvs = [], []
+        for kv in override.split(","):
+            k = kv.split("=", 1)[0]
+            if k in type(tcfg).__dataclass_fields__:
+                t_kvs.append(kv)
+            elif k in type(cfg).__dataclass_fields__:
+                m_kvs.append(kv)
+            else:
+                raise SystemExit(
+                    f"--geo-override: unknown key {k!r} (not a "
+                    "NeuSTrainConfig or NeuSConfig field)")
+        tcfg = _apply_preset_overrides(tcfg, ",".join(t_kvs))
+        cfg = _apply_preset_overrides(cfg, ",".join(m_kvs))
     if getattr(args, "n_samples", 0):
         cfg = NeuSConfig(
             sdf=cfg.sdf, color=cfg.color,

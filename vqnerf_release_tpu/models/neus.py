@@ -206,7 +206,8 @@ def _render_core(params, cfg: NeuSConfig, rays_o, rays_d, z_vals, sample_dist,
 
 def neus_render(params, cfg: NeuSConfig, rays_o, rays_d, near, far, radius,
                 key=None, perturb_overwrite=-1.0, background_rgb=None,
-                cos_anneal_ratio=0.0, to_light=False, use_pallas=False):
+                cos_anneal_ratio=0.0, to_light=False, use_pallas=False,
+                occ_grid=None, occ_floor=0.05):
     """Full hierarchical render (renderer.py:299-401).
 
     near/far: [R, 1]. Returns the reference's output dict. ``key=None``
@@ -218,6 +219,12 @@ def neus_render(params, cfg: NeuSConfig, rays_o, rays_d, near, far, radius,
     training grad — all kernel inputs carry zero tangents and JAX never
     asks for the (undefined) kernel VJP. Gated on point counts being
     BLOCK-aligned, like neus_occlusion.
+
+    occ_grid: optional [res,res,res] occupancy grid (ops.occupancy) — the
+    initial n_samples are drawn from the grid's per-ray PDF instead of
+    uniformly, which lets small n_samples/n_importance configs match the
+    64+64 reference quality (the training-throughput lever; grid rebuilt
+    periodically by the train loop).
     """
     batch_size = rays_o.shape[0]
     if to_light:
@@ -225,19 +232,28 @@ def neus_render(params, cfg: NeuSConfig, rays_o, rays_d, near, far, radius,
     else:
         sample_dist = 2.0 * radius / cfg.n_samples
 
-    z_lin = jnp.linspace(0.0, 1.0, cfg.n_samples)
-    z_vals = near + (far - near) * z_lin[None, :]
-
     perturb = cfg.perturb if perturb_overwrite < 0 else perturb_overwrite
     z_vals_outside = None
     if cfg.n_outside > 0:
         z_vals_outside = jnp.linspace(
             1e-3, 1.0 - 1.0 / (cfg.n_outside + 1.0), cfg.n_outside)
 
+    if occ_grid is not None:
+        from ..ops.occupancy import sample_z_occ
+        sub = None
+        if perturb > 0 and key is not None:
+            key, sub = jax.random.split(key)
+        z_vals = sample_z_occ(rays_o, rays_d, near, far, occ_grid, radius,
+                              cfg.n_samples, key=sub, floor=occ_floor)
+    else:
+        z_lin = jnp.linspace(0.0, 1.0, cfg.n_samples)
+        z_vals = near + (far - near) * z_lin[None, :]
+        if perturb > 0 and key is not None:
+            key, sub = jax.random.split(key)
+            t_rand = jax.random.uniform(sub, (batch_size, 1)) - 0.5
+            z_vals = z_vals + t_rand * 2.0 * radius / cfg.n_samples
+
     if perturb > 0 and key is not None:
-        key, sub = jax.random.split(key)
-        t_rand = jax.random.uniform(sub, (batch_size, 1)) - 0.5
-        z_vals = z_vals + t_rand * 2.0 * radius / cfg.n_samples
         if cfg.n_outside > 0:
             key, sub = jax.random.split(key)
             mids = 0.5 * (z_vals_outside[1:] + z_vals_outside[:-1])

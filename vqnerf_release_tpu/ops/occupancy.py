@@ -1,0 +1,92 @@
+"""Occupancy-grid-guided ray sampling for NeuS training.
+
+The reference places the initial n_samples uniformly in [near, far]
+(geo/NeuS-ours2/models/renderer.py:311-316) and spends four SDF
+up-sample rounds concentrating them at the surface. Because the SDF
+moves slowly during training, a coarse occupancy grid re-evaluated every
+few hundred steps places the INITIAL samples in the band where the
+surface can possibly be, so the same quality needs fewer samples and
+fewer up-sample rounds — the algorithmic throughput lever r1 left on the
+table (the per-FLOP cost was already closed as compute-bound).
+
+Certification logic mirrors gen_geo's fast-vis pass: with an
+Eikonal-trained (~unit-gradient) SDF, the surface cannot cross a cell
+whose center |SDF| exceeds half the cell diagonal; `margin_factor`
+(default 3) adds slack for learned-SDF gradient error. A `floor` keeps a
+uniform sampling component everywhere, so regions the grid missed (the
+surface moved since the last rebuild) still receive samples and the
+up-sample rounds can recover them.
+
+TPU notes: the grid build is one jitted chunked sweep (res^3 = 262k SDF
+evals at res 64 — amortized over occ_update_freq steps it is noise); the
+per-step sampler is pure gather + inverse-CDF on the VPU, no MLP evals.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .sampling import sample_pdf
+
+__all__ = ["build_occ_grid", "ray_bin_occupancy", "sample_z_occ"]
+
+
+def build_occ_grid(sdf_params, sdf_cfg, radius, res=64, margin_factor=3.0,
+                   chunk=65536):
+    """Occupancy over the [-radius, radius]^3 cube: [res, res, res]
+    float32 in {0, 1}, cell occupied iff |SDF(center)| < margin.
+    """
+    from ..models import fields
+
+    centers_1d = (np.arange(res, dtype=np.float32) + 0.5) / res * 2 - 1
+    x, y, z = np.meshgrid(centers_1d, centers_1d, centers_1d,
+                          indexing="ij")
+    pts = np.stack([x, y, z], axis=-1).reshape(-1, 3) * radius
+    cell_diag = 2.0 * radius / res * np.sqrt(3.0)
+    margin = margin_factor * cell_diag / 2.0
+
+    pts = jnp.asarray(pts)
+    n = pts.shape[0]
+    n_chunks = max(1, -(-n // chunk))
+    pad = n_chunks * chunk - n
+    pts = jnp.pad(pts, ((0, pad), (0, 0)))
+
+    def body(c):
+        sdf = fields.sdf_only(sdf_params, c, sdf_cfg)  # [N]
+        return (jnp.abs(sdf) < margin).astype(jnp.float32)
+
+    occ = jax.lax.map(body, pts.reshape(n_chunks, chunk, 3))
+    return occ.reshape(-1)[:n].reshape(res, res, res)
+
+
+def ray_bin_occupancy(rays_o, rays_d, near, far, grid, radius, n_bins):
+    """Occupancy of n_bins uniform bins of [near, far] per ray: [R, B].
+    Bin midpoints outside the cube read 0 (no surface outside the
+    inside-sphere mask anyway)."""
+    res = grid.shape[0]
+    t = (jnp.arange(n_bins, dtype=jnp.float32) + 0.5) / n_bins
+    z_mid = near + (far - near) * t[None, :]  # [R, B]
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_mid[..., None]
+    idx_f = (pts / radius + 1.0) * 0.5 * res
+    idx = jnp.clip(jnp.floor(idx_f).astype(jnp.int32), 0, res - 1)
+    vals = grid[idx[..., 0], idx[..., 1], idx[..., 2]]  # [R, B]
+    inside = jnp.all((idx_f >= 0) & (idx_f < res), axis=-1)
+    return vals * inside.astype(vals.dtype)
+
+
+def sample_z_occ(rays_o, rays_d, near, far, grid, radius, n_samples,
+                 key=None, floor=0.05, n_bins=64):
+    """Draw n_samples sorted z-values per ray from the piecewise-constant
+    PDF proportional to occupancy + floor over n_bins uniform bins.
+    key=None -> deterministic CDF midpoints (still sorted)."""
+    occ = ray_bin_occupancy(rays_o, rays_d, near, far, grid, radius,
+                            n_bins)
+    # all-empty rays degrade to uniform via the floor
+    w = occ * (1.0 - floor) + floor
+    edges_t = jnp.arange(n_bins + 1, dtype=jnp.float32) / n_bins
+    edges = near + (far - near) * edges_t[None, :]  # [R, B+1]
+    edges = jnp.broadcast_to(edges, (rays_o.shape[0], n_bins + 1))
+    z = sample_pdf(edges, w, n_samples, key=key, eps_w=0.0)
+    if key is not None:
+        z = jnp.sort(z, axis=-1)  # random u is unordered
+    return jax.lax.stop_gradient(z)

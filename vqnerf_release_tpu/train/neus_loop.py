@@ -40,8 +40,16 @@ class NeuSRunner:
         self.opt_state = init_neus_opt_state(self.params)
         self.iter_step = 0
         self.radius = float(dataset.max_radius)
-        self._step_fn = jax.jit(
-            make_neus_train_step(cfg, tcfg, self.radius))
+        self._with_occ = tcfg.occ_res > 0
+        self._step_fn = jax.jit(make_neus_train_step(
+            cfg, tcfg, self.radius, with_occ=self._with_occ))
+        self._occ_grid = None
+        self._occ_built_at = -1
+        if self._with_occ:
+            from ..ops.occupancy import build_occ_grid
+            self._build_occ = jax.jit(lambda p: build_occ_grid(
+                p, cfg.sdf, radius=self.radius, res=tcfg.occ_res,
+                margin_factor=tcfg.occ_margin))
 
         @jax.jit
         def _render_val(params, rays_o, rays_d, near, far):
@@ -94,9 +102,16 @@ class NeuSRunner:
                 "valid": jnp.ones((self.tcfg.batch_size, 1)),
             }
             self.key, sub = jax.random.split(self.key)
+            step_args = (self.params, self.opt_state, batch, sub,
+                         jnp.asarray(self.iter_step, jnp.float32))
+            if self._with_occ:
+                if (self._occ_grid is None or self.iter_step
+                        - self._occ_built_at >= self.tcfg.occ_update_freq):
+                    self._occ_grid = self._build_occ(self.params["sdf"])
+                    self._occ_built_at = self.iter_step
+                step_args = step_args + (self._occ_grid,)
             self.params, self.opt_state, metrics = self._step_fn(
-                self.params, self.opt_state, batch, sub,
-                jnp.asarray(self.iter_step, jnp.float32))
+                *step_args)
             self.iter_step += 1
             perm_i += 1
             if log_every and self.iter_step % log_every == 0:

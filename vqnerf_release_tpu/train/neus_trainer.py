@@ -39,6 +39,14 @@ class NeuSTrainConfig:
     save_freq: int = 10_000
     val_freq: int = 2_500
     use_pallas: bool = False  # fused Pallas SDF for the up-sample chain
+    # Occupancy-guided sampling (ops/occupancy.py): 0 = off (reference
+    # semantics). When on, the initial n_samples draw from a coarse SDF
+    # occupancy grid rebuilt every occ_update_freq steps, enabling small
+    # sample configs (e.g. 32+32 r2) at 64+64 r4 quality.
+    occ_res: int = 0
+    occ_update_freq: int = 250
+    occ_margin: float = 3.0
+    occ_floor: float = 0.05
 
 
 def neus_lr_factor(step, tcfg: NeuSTrainConfig):
@@ -61,21 +69,25 @@ def init_neus_opt_state(params):
     return optax.scale_by_adam().init(params)
 
 
-def make_neus_train_step(cfg: NeuSConfig, tcfg: NeuSTrainConfig, radius):
+def make_neus_train_step(cfg: NeuSConfig, tcfg: NeuSTrainConfig, radius,
+                         with_occ=False):
     """Returns jittable fn(params, opt_state, batch, key, step) ->
-    (params, opt_state, metrics).
+    (params, opt_state, metrics) — plus a trailing occ_grid argument
+    when with_occ (the loop rebuilds the grid every occ_update_freq
+    steps via ops.occupancy.build_occ_grid).
 
     batch: rays_o/rays_d [R,3], rgb [R,3], mask [R,1], near/far [R,1],
     valid [R,1] (1 for real rays, 0 for shard padding).
     """
     adam = optax.scale_by_adam()
 
-    def loss_fn(params, batch, key, anneal):
+    def loss_fn(params, batch, key, anneal, occ_grid=None):
         background_rgb = jnp.ones((1, 3)) if tcfg.use_white_bkgd else None
         out = neus_render(
             params, cfg, batch["rays_o"], batch["rays_d"], batch["near"],
             batch["far"], radius, key=key, background_rgb=background_rgb,
-            cos_anneal_ratio=anneal, use_pallas=tcfg.use_pallas)
+            cos_anneal_ratio=anneal, use_pallas=tcfg.use_pallas,
+            occ_grid=occ_grid, occ_floor=tcfg.occ_floor)
         valid = batch["valid"]
         if tcfg.mask_weight > 0:
             mask = (batch["mask"] > 0.5).astype(jnp.float32) * valid
@@ -104,10 +116,10 @@ def make_neus_train_step(cfg: NeuSConfig, tcfg: NeuSTrainConfig, radius):
         }
         return loss, metrics
 
-    def train_step(params, opt_state, batch, key, step):
+    def train_step(params, opt_state, batch, key, step, occ_grid=None):
         anneal = cos_anneal_ratio(step, tcfg)
         (_, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, batch, key, anneal)
+            loss_fn, has_aux=True)(params, batch, key, anneal, occ_grid)
         lr = tcfg.learning_rate * neus_lr_factor(step, tcfg)
         updates, opt_state = adam.update(grads, opt_state, params)
         updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
@@ -115,4 +127,9 @@ def make_neus_train_step(cfg: NeuSConfig, tcfg: NeuSTrainConfig, radius):
         metrics["lr"] = lr
         return params, opt_state, metrics
 
+    if with_occ:
+        def train_step_occ(params, opt_state, batch, key, step, occ_grid):
+            return train_step(params, opt_state, batch, key, step,
+                              occ_grid)
+        return train_step_occ
     return train_step
