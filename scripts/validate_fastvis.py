@@ -1,0 +1,130 @@
+"""Fast-vis validation at production light count (512) on a trained
+smoke scene — the r1 VERDICT item 7 promotion gate.
+
+Trains a short NeuS on the synthetic sphere scene (reusing the smoke
+harness' scene generator), extracts one view's geometry, then computes
+the 16x32=512-direction light visibility through BOTH paths:
+  full: the hierarchical occlusion render on every front-lit shadow ray
+  fast: coarse SDF certification sweep + full render on uncertain rays
+and reports agreement stats, the uncertain fraction, and wall-clock for
+each. Run on TPU: python scripts/validate_fastvis.py
+"""
+
+import argparse
+import os
+import sys
+import time
+from os.path import join
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/vqnerf_fastvis")
+    ap.add_argument("--geo-iters", type=int, default=3000)
+    ap.add_argument("--imh", type=int, default=64)
+    ap.add_argument("--light-h", type=int, default=16)  # 512 lights
+    ap.add_argument("--factor", type=float, default=2.0)
+    args = ap.parse_args()
+
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "smoke_e2e", join(os.path.dirname(os.path.abspath(__file__)),
+                          "smoke_e2e.py"))
+    smoke = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(smoke)
+    make_scene = smoke.make_scene
+    from vqnerf_release_tpu.data.neus_dataset import NerfSceneDataset
+    from vqnerf_release_tpu.models.neus import NeuSConfig
+    from vqnerf_release_tpu.pipelines.gen_geo import GeoExtractor
+    from vqnerf_release_tpu.train.neus_loop import NeuSRunner
+    from vqnerf_release_tpu.train.neus_trainer import NeuSTrainConfig
+
+    scene_dir = join(args.root, "scene")
+    os.makedirs(scene_dir, exist_ok=True)
+    make_scene(scene_dir, h=args.imh, w=args.imh)
+
+    ds = NerfSceneDataset(scene_dir, is_train=True, near=1.2, far=3.5)
+    cfg = NeuSConfig(n_samples=32, n_importance=16, up_sample_steps=2)
+    tcfg = NeuSTrainConfig(end_iter=args.geo_iters,
+                           warm_up_end=max(args.geo_iters // 10, 1),
+                           batch_size=1024, save_freq=10**9,
+                           val_freq=10**9, use_white_bkgd=True,
+                           occ_res=64)
+    runner = NeuSRunner(cfg, tcfg, ds, join(args.root, "exp"), seed=0)
+    t0 = time.time()
+    runner.train(log_every=max(args.geo_iters // 4, 1))
+    print(f"trained {args.geo_iters} iters in {time.time()-t0:.0f}s")
+
+    ex = GeoExtractor(runner.params, cfg, ds, join(args.root, "surf"),
+                      use_white_bkgd=True, batch_size=4096,
+                      light_h=args.light_h, vis_point_batch=64,
+                      fast_vis=True, fast_vis_factor=args.factor)
+    view_dir = join(args.root, "surf", "train_000")
+    os.makedirs(view_dir, exist_ok=True)
+    surf, normal, mask = ex.compute_geo(0, view_dir)
+    fg = mask[..., 0] > 0
+    surf_fg = surf[fg].astype(np.float32)
+    normal_fg = normal[fg].astype(np.float32)
+    n_fg = surf_fg.shape[0]
+    print(f"view 0: {n_fg} fg points x {ex.n_lights} lights "
+          f"= {n_fg * ex.n_lights} shadow rays")
+
+    # warm both paths' kernels, then time
+    _ = ex._lvis_full(surf_fg[:64], normal_fg[:64])
+    _ = ex._lvis_fast(surf_fg[:64], normal_fg[:64])
+
+    t0 = time.time()
+    lv_full = ex._lvis_full(surf_fg, normal_fg)
+    t_full = time.time() - t0
+    t0 = time.time()
+    lv_fast = ex._lvis_fast(surf_fg, normal_fg)
+    t_fast = time.time() - t0
+
+    diff = np.abs(lv_full - lv_fast)
+    # uncertain fraction (recompute the certification mask for the stat)
+    ms = np.zeros((n_fg, ex.n_lights), np.float32)
+    sp = np.zeros_like(ms)
+    fr = np.zeros_like(ms)
+    bs = ex.vis_point_batch
+    import jax.numpy as jnp
+    for i in range(0, n_fg, bs):
+        s = surf_fg[i:i + bs]
+        nn = normal_fg[i:i + bs]
+        pad = bs - s.shape[0]
+        if pad:
+            s = np.pad(s, ((0, pad), (0, 0)), constant_values=0.5)
+            nn = np.pad(nn, ((0, pad), (0, 0)), constant_values=1.0)
+        a, b, c = ex._coarse_batch(ex.params, jnp.asarray(s),
+                                   jnp.asarray(nn))
+        end = min(i + bs, n_fg) - i
+        ms[i:i + end] = np.asarray(a)[:end]
+        sp[i:i + end] = np.asarray(b)[:end]
+        fr[i:i + end] = np.asarray(c)[:end]
+    uncertain = (fr > 0) & (ms < 0.5 * args.factor * sp)
+    frontlit = fr > 0
+
+    print(f"uncertain fraction (of front-lit rays): "
+          f"{uncertain.sum() / max(frontlit.sum(), 1):.3f}")
+    print(f"agreement: max |dlvis| {diff.max():.4f}, "
+          f"mean {diff.mean():.6f}, "
+          f"frac > 0.01: {(diff > 0.01).mean():.5f}, "
+          f"frac > 0.05: {(diff > 0.05).mean():.6f}")
+    print(f"wall: full {t_full:.1f}s, fast {t_fast:.1f}s "
+          f"-> speedup {t_full / t_fast:.2f}x")
+    # certified-ray check: every certified (skipped) front-lit ray must
+    # be fully visible under the full path too
+    cert = frontlit & ~uncertain
+    if cert.any():
+        v = lv_full[cert]
+        print(f"certified rays: {cert.sum()} "
+              f"(full-path vis on them: min {v.min():.4f}, "
+              f"frac < 0.99: {(v < 0.99).mean():.6f})")
+
+
+if __name__ == "__main__":
+    main()

@@ -375,3 +375,34 @@ def test_cli_gen_geo_multihost(tmp_path, monkeypatch):
     v0 = set(range(0 * step, min(1 * step, n_imgs)))
     v1 = set(range(1 * step, min(2 * step, n_imgs)))
     assert v0.isdisjoint(v1) and v0 | v1 == set(range(n_imgs))
+
+
+def test_cli_gen_geo_fastvis_default(tmp_path, monkeypatch):
+    """fast-vis defaults ON for CG lvis extraction (agreement validated
+    at 512 lights, BASELINE.md r2), OFF under --no-vis, and --no-fast-vis
+    is the escape hatch."""
+    from vqnerf_release_tpu import cli
+    from vqnerf_release_tpu.pipelines import gen_geo as gg
+
+    root = str(tmp_path / "scene")
+    os.makedirs(root)
+    _make_stage1_scene(root, n_train=1, n_val=1)
+
+    seen = []
+
+    class FakeExtractor:
+        def __init__(self, *a, **kw):
+            seen.append(kw)
+
+        def extract_views(self, **kw):
+            pass
+
+    monkeypatch.setattr(gg, "GeoExtractor", FakeExtractor)
+    base = ["gen-geo", "lego_3072", "--data-root", root,
+            "--output-root", str(tmp_path / "out")]
+    cli.main(base)  # CG scene, lvis on -> fast-vis default
+    assert seen[-1]["fast_vis"] is True
+    cli.main(base + ["--no-fast-vis"])
+    assert seen[-1]["fast_vis"] is False
+    cli.main(base + ["--no-vis"])  # no lvis -> flag irrelevant, off
+    assert seen[-1]["fast_vis"] is False

@@ -213,3 +213,28 @@ def test_geo_override_routes_both_configs():
     with pytest.raises(SystemExit, match="unknown key"):
         _geo_cfgs(SimpleNamespace(scene="lego_3072", n_samples=0,
                                   geo_override="nope=1"))
+
+
+def test_preset_defaults_fast_training_parity_extraction(tmp_path,
+                                                         monkeypatch):
+    """Family presets default TRAINING to the occupancy 16+16 r2 sampler
+    (76k rays/s, smoke-guarded) while gen-geo EXTRACTION keeps the
+    reference-parity 64+64 r4 renderer; both stay one override away."""
+    from types import SimpleNamespace
+
+    from vqnerf_release_tpu import config as vcfg
+    from vqnerf_release_tpu.cli import _geo_cfgs
+
+    cfg, tcfg, _ = vcfg.neus_configs_for_scene("lego_3072")
+    assert (cfg.n_samples, cfg.n_importance, cfg.up_sample_steps,
+            tcfg.occ_res) == (16, 16, 2, 64)
+
+    args = SimpleNamespace(scene="lego_3072", geo_override="",
+                           n_samples=0)
+    cfg_x, tcfg_x, _ = _geo_cfgs(args, extraction=True)
+    assert (cfg_x.n_samples, cfg_x.n_importance, cfg_x.up_sample_steps,
+            tcfg_x.occ_res) == (64, 64, 4, 0)
+    # --geo-override wins over the extraction parity base
+    args.geo_override = "n_samples=32"
+    cfg_y, _, _ = _geo_cfgs(args, extraction=True)
+    assert cfg_y.n_samples == 32 and cfg_y.n_importance == 64

@@ -26,10 +26,16 @@ def _add_common(p):
     p.add_argument("--seed", type=int, default=None)
 
 
-def _geo_cfgs(args):
+def _geo_cfgs(args, extraction=False):
     from .models.neus import NeuSConfig
 
-    cfg, tcfg, meta = vcfg.neus_configs_for_scene(args.scene)
+    # Extraction renders use the reference-parity sampler (64+64 r4,
+    # confs/nerf.conf:83-86): the fast occupancy-guided TRAINING default
+    # is not wired into GeoExtractor, and the extracted buffers feed
+    # stage 2. --geo-override still wins.
+    base = dict(n_samples=64, n_importance=64, up_sample_steps=4,
+                occ_res=0) if extraction else {}
+    cfg, tcfg, meta = vcfg.neus_configs_for_scene(args.scene, **base)
     # --geo-override keys route to whichever config owns them:
     # NeuSTrainConfig (lr, occ_res, ...) or NeuSConfig (n_samples,
     # n_importance, up_sample_steps, ...)
@@ -123,7 +129,7 @@ def cmd_gen_geo(args):
         host_id=getattr(args, "host_id", None))
     num_p, p_i = compose_view_shard(args.num_p, args.p_i, proc_i, proc_n)
 
-    cfg, tcfg, meta = _geo_cfgs(args)
+    cfg, tcfg, meta = _geo_cfgs(args, extraction=True)
     mk = DtuSceneDataset if meta["family"] in ("dtu", "ours") \
         else NerfSceneDataset
     kwargs = {} if meta["family"] in ("dtu", "ours") else {
@@ -147,12 +153,18 @@ def cmd_gen_geo(args):
         mesh = local_mesh(devices_arg or "all")
     else:
         mesh = _gen_geo_mesh(devices_arg or "1")
+    # fast-vis default-on for CG lvis extraction: agreement validated on
+    # a trained scene at 512 lights (max |dlvis| 0.004, zero rays off by
+    # >0.01, every certified ray confirmed fully visible by the full
+    # path — BASELINE.md r2); --no-fast-vis is the escape hatch
+    fast_vis = (args.fast_vis
+                or (not no_vis and not args.no_fast_vis))
     for is_train in (True, False):
         ds = mk(args.data_root, is_train=is_train,
                 new_h=meta["new_h"], **kwargs)
         ex = GeoExtractor(params, cfg, ds, out_dir,
                           use_white_bkgd=tcfg.use_white_bkgd,
-                          fast_vis=args.fast_vis,
+                          fast_vis=fast_vis,
                           fast_vis_factor=args.fast_vis_factor,
                           use_pallas=getattr(args, "pallas", False),
                           mesh=mesh)
@@ -512,7 +524,11 @@ def main(argv=None):
     p.add_argument("--n-samples", type=int, default=0)
     p.add_argument("--fast-vis", action="store_true",
                    help="two-pass lvis: coarse SDF sweep certifies free "
-                        "shadow rays; full render only on the rest")
+                        "shadow rays; full render only on the rest "
+                        "(DEFAULT for CG lvis extraction)")
+    p.add_argument("--no-fast-vis", action="store_true",
+                   help="force the full occlusion render on every "
+                        "front-lit shadow ray")
     p.add_argument("--fast-vis-factor", type=float, default=2.0,
                    help="safety factor on the coarse certification "
                         "margin (>= 1; higher = more conservative)")

@@ -80,6 +80,16 @@ _FAMILY_GEO = {
                near=2.0, far=6.0, new_h=420, lr_end_iter=-1),
 }
 
+# Default stage-1 TRAINING sampler for every family: occupancy-guided
+# 16+16 samples, 2 up-sample rounds — 76.4k rays/s vs 20.3k at the
+# reference's 64+64 r4 (3.8x), with BETTER per-step quality on the e2e
+# smoke guardrail (stage-1 val 21.94 vs 16.98 dB at equal steps; see
+# BASELINE.md r2 rows). Reference-exact sampling remains one override
+# away:  --geo-override n_samples=64,n_importance=64,up_sample_steps=4,
+# occ_res=0  (geo/NeuS-ours2/confs/nerf.conf:83-86 semantics).
+_GEO_FAST_SAMPLER = dict(n_samples=16, n_importance=16, up_sample_steps=2,
+                         occ_res=64)
+
 
 def scene_family(scene):
     if scene in SCENE_FAMILY:
@@ -104,10 +114,14 @@ def neus_configs_for_scene(scene, **overrides):
     kw = dict(_FAMILY_GEO[family])
     near, far = kw.pop("near"), kw.pop("far")
     new_h = kw.pop("new_h")
-    kw.update({k: v for k, v in overrides.items()
-               if k in NeuSTrainConfig.__dataclass_fields__})
-    tcfg = NeuSTrainConfig(**kw)
-    cfg = NeuSConfig()
+    kw.update(_GEO_FAST_SAMPLER)
+    kw.update(overrides)
+    t_kw = {k: v for k, v in kw.items()
+            if k in NeuSTrainConfig.__dataclass_fields__}
+    m_kw = {k: v for k, v in kw.items()
+            if k in NeuSConfig.__dataclass_fields__}
+    tcfg = NeuSTrainConfig(**t_kw)
+    cfg = NeuSConfig(**m_kw)
     return cfg, tcfg, {"near": near, "far": far, "new_h": new_h,
                        "family": family}
 
