@@ -104,22 +104,37 @@ def bench_decomp_train():
     }
     thres = jnp.asarray(cfg.train_thres())
 
-    state = {"params": params, "ema": ema_state, "opt": opt_state,
-             "ld": None, "step": 0}
-
-    def run_step():
-        rng = jax.random.PRNGKey(state["step"])
-        (state["params"], state["ema"], state["opt"],
-         state["ld"]) = step_fn(
-            state["params"], state["ema"], state["opt"], batch, thres,
-            rng, jnp.asarray(state["step"], jnp.float32))
-        state["step"] += 1
-
-    run_step()
-    float(state["ld"]["loss"])  # compile + sync
+    # N steps inside ONE lax.scan dispatch: per-call tunnel dispatch
+    # latency (3-10 ms, session-dependent) would otherwise dominate this
+    # ~3 ms step and makes per-step python loops unreproducible
     n_iters = 30
-    dt = _best_window(run_step, n_iters, 4,
-                      lambda: float(state["ld"]["loss"]))
+
+    @jax.jit
+    def run_n(params, ema_state, opt_state, base_key):
+        def body(carry, i):
+            params, ema_state, opt_state = carry
+            rng = jax.random.fold_in(base_key, i)
+            # roll the ray axis per step: a loop-invariant batch would
+            # let XLA hoist the batch preprocessing out of the scan,
+            # which real training (fresh rays every step) never gets
+            b = {k: jnp.roll(v, i, axis=0) for k, v in batch.items()}
+            params, ema_state, opt_state, ld = step_fn(
+                params, ema_state, opt_state, b, thres, rng,
+                i.astype(jnp.float32))
+            return (params, ema_state, opt_state), ld["loss"]
+        carry, losses = jax.lax.scan(
+            body, (params, ema_state, opt_state), jnp.arange(n_iters))
+        return carry, losses[-1]
+
+    state = {"c": (params, ema_state, opt_state), "l": None}
+
+    def run():
+        state["c"], state["l"] = run_n(*state["c"],
+                                       jax.random.PRNGKey(0))
+
+    run()
+    float(state["l"])  # compile + sync
+    dt = _best_window(run, 1, 4, lambda: float(state["l"]))
     v = n_rays * n_iters / dt
     return {"metric": "decomp_train_rays_per_sec", "value": round(v, 1),
             "unit": "rays/s/chip",
@@ -168,21 +183,32 @@ def _bench_geo(metric_name, n_iters=10, **cfg_overrides):
         # <0.5% at the production cadence; the timed loop holds it fixed
     batch = {k: jnp.asarray(v) for k, v in _geo_batch(n_rays).items()}
 
-    state = {"params": params, "opt": opt, "m": None, "step": 0}
+    # one lax.scan dispatch per timing window (see bench_decomp_train)
+    @jax.jit
+    def run_n(params, opt, base_key):
+        def body(carry, i):
+            params, opt = carry
+            # per-step batch roll: see bench_decomp_train
+            b = {k: jnp.roll(v, i, axis=0) for k, v in batch.items()}
+            args = (params, opt, b, jax.random.fold_in(base_key, i),
+                    i.astype(jnp.float32))
+            if with_occ:
+                args = args + (occ_grid,)
+            params, opt, m = step_fn(*args)
+            return (params, opt), m["loss"]
+        carry, losses = jax.lax.scan(body, (params, opt),
+                                     jnp.arange(n_iters))
+        return carry, losses[-1]
 
-    def run_step():
-        args = (state["params"], state["opt"], batch,
-                jax.random.PRNGKey(state["step"]),
-                jnp.asarray(float(state["step"])))
-        if with_occ:
-            args = args + (occ_grid,)
-        (state["params"], state["opt"], state["m"]) = step_fn(*args)
-        state["step"] += 1
+    state = {"c": (params, opt), "l": None}
 
-    run_step()
-    float(state["m"]["loss"])
-    dt = _best_window(run_step, n_iters, 3,
-                      lambda: float(state["m"]["loss"]))
+    def run():
+        state["c"], state["l"] = run_n(*state["c"],
+                                       jax.random.PRNGKey(0))
+
+    run()
+    float(state["l"])
+    dt = _best_window(run, 1, 3, lambda: float(state["l"]))
     v = n_rays * n_iters / dt
     return {"metric": metric_name, "value": round(v, 1),
             "unit": "rays/s/chip",
@@ -211,7 +237,12 @@ def bench_lvis():
     from vqnerf_release_tpu.models.neus import init_neus, neus_occlusion
     from vqnerf_release_tpu.pipelines.gen_geo import intersect_sphere_far
 
-    ncfg, _, _ = neus_configs_for_scene("lego")
+    # extraction (gen-geo) renders with the reference-parity sampler, so
+    # the lvis bench pins it too (the preset default is the fast
+    # TRAINING sampler, which extraction does not use)
+    ncfg, _, _ = neus_configs_for_scene(
+        "lego", n_samples=64, n_importance=64, up_sample_steps=4,
+        occ_res=0)
     params = init_neus(0, ncfg)
     radius = 1.0
     # one light-tile dispatch (gen_geo _vis_batch scan body:
