@@ -142,11 +142,14 @@ def main():
                       up_sample_steps=int(m.group(3)))
     print(f"== stage-1 sampler {args.geo_sampler}"
           + (f" + occ grid {args.occ_res}^3" if args.occ_res else ""))
+    # steps_per_dispatch=8: semantically identical to single steps
+    # (tests/test_neus_loop.py) but amortizes the tunnel's per-dispatch
+    # latency, which dominates small smoke steps
     tcfg = NeuSTrainConfig(end_iter=args.geo_iters,
                            warm_up_end=max(args.geo_iters // 10, 1),
                            batch_size=1024, save_freq=10**9,
                            val_freq=10**9, use_white_bkgd=True,
-                           occ_res=args.occ_res)
+                           occ_res=args.occ_res, steps_per_dispatch=8)
     runner = NeuSRunner(cfg1, tcfg, ds, join(root, "exp"), seed=0)
     runner.train(log_every=max(args.geo_iters // 8, 1))
     img, wsum = runner.validate_image(0)

@@ -77,3 +77,86 @@ def test_neus_runner_train_ckpt_resume(tmp_path):
     assert len(verts) > 50
     files = os.listdir(os.path.join(exp_dir, "meshes"))
     assert any(f.endswith(".ply") for f in files)
+
+
+def test_multi_step_dispatch_matches_schedule(tmp_path):
+    """steps_per_dispatch=4: the scanned multi-step path consumes the
+    same per-step LR/anneal schedule (indices base..base+3), trains to
+    a finite loss, hits exactly end_iter, and fires save/val cadences
+    that are not multiples of K."""
+    import jax
+    import numpy as np
+
+    from tests.test_gen_geo import _make_stage1_scene
+    from vqnerf_release_tpu.data.neus_dataset import NerfSceneDataset
+    from vqnerf_release_tpu.models.neus import NeuSConfig
+    from vqnerf_release_tpu.train.neus_loop import NeuSRunner
+    from vqnerf_release_tpu.train.neus_trainer import NeuSTrainConfig
+
+    import os
+    root = str(tmp_path / "scene")
+    os.makedirs(root)
+    _make_stage1_scene(root, n_train=2, n_val=1)
+    ds = NerfSceneDataset(root, is_train=True, near=0.5, far=3.5)
+    cfg = NeuSConfig(n_samples=8, n_importance=8, up_sample_steps=2)
+    tcfg = NeuSTrainConfig(batch_size=8, end_iter=10, warm_up_end=2,
+                           save_freq=6, val_freq=10**9,
+                           steps_per_dispatch=4)
+    runner = NeuSRunner(cfg, tcfg, ds, str(tmp_path / "exp"))
+    hist = runner.train(log_every=2)
+    assert runner.iter_step == 10  # 4 + 4 + 1 + 1 (tail single steps)
+    assert hist and all(np.isfinite(h["loss"]) for h in hist)
+    # save_freq=6 crossed inside the second 4-step dispatch
+    from vqnerf_release_tpu.utils import ckpt as ckpt_util
+    assert ckpt_util.latest_ckpt(str(tmp_path / "exp")) is not None
+    # LR schedule advanced past warm-up (factor > 0 after step 2)
+    assert hist[-1]["lr"] > 0
+
+
+def test_multi_step_equals_single_steps():
+    """With a FIXED batch and per-step keys folded the same way, K
+    scanned steps produce the same params as K eager steps."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vqnerf_release_tpu.models.neus import NeuSConfig, init_neus
+    from vqnerf_release_tpu.train.neus_trainer import (
+        NeuSTrainConfig, init_neus_opt_state, make_neus_multi_step,
+        make_neus_train_step)
+
+    cfg = NeuSConfig(n_samples=8, n_importance=8, up_sample_steps=2,
+                     perturb=0.0)
+    tcfg = NeuSTrainConfig(batch_size=8, end_iter=100, warm_up_end=5)
+    params = init_neus(0, cfg)
+    opt = init_neus_opt_state(params)
+    rs = np.random.RandomState(0)
+    d = rs.randn(8, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    batch = {
+        "rays_o": jnp.asarray(np.tile([[0, 0, -2.0]], (8, 1)),
+                              jnp.float32),
+        "rays_d": jnp.asarray(d),
+        "rgb": jnp.full((8, 3), 0.5), "mask": jnp.ones((8, 1)),
+        "near": jnp.full((8, 1), 1.0), "far": jnp.full((8, 1), 3.0),
+        "valid": jnp.ones((8, 1)),
+    }
+    key = jax.random.PRNGKey(7)
+    k = 3
+
+    step = jax.jit(make_neus_train_step(cfg, tcfg, radius=1.0))
+    p1, o1 = params, opt
+    for i in range(k):
+        p1, o1, m1 = step(p1, o1, batch, jax.random.fold_in(key, i),
+                          jnp.asarray(float(2 + i)))
+
+    multi = jax.jit(make_neus_multi_step(cfg, tcfg, radius=1.0, k=k))
+    batches = {kk: jnp.stack([v] * k) for kk, v in batch.items()}
+    p2, o2, m2 = multi(params, opt, batches, key, jnp.asarray(2.0))
+
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)

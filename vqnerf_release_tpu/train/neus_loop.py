@@ -43,6 +43,17 @@ class NeuSRunner:
         self._with_occ = tcfg.occ_res > 0
         self._step_fn = jax.jit(make_neus_train_step(
             cfg, tcfg, self.radius, with_occ=self._with_occ))
+        self._multi_cache = {}
+
+        def _multi_fns(k):
+            if k not in self._multi_cache:
+                from .neus_trainer import make_neus_multi_step
+                self._multi_cache[k] = jax.jit(make_neus_multi_step(
+                    cfg, tcfg, self.radius, k,
+                    with_occ=self._with_occ))
+            return self._multi_cache[k]
+
+        self._multi_fns = _multi_fns
         self._occ_grid = None
         self._occ_built_at = -1
         if self._with_occ:
@@ -90,31 +101,61 @@ class NeuSRunner:
         image_perm = self.rng.permutation(self.dataset.n_images)
         perm_i = self.iter_step % max(len(image_perm), 1)
         history = []
-        while self.iter_step < end:
+        k_cfg = max(1, self.tcfg.steps_per_dispatch)
+
+        def crossed(freq, n):
+            """Did [iter_step-n, iter_step] cross a multiple of freq?"""
+            return freq and (self.iter_step // freq
+                             > (self.iter_step - n) // freq)
+
+        def host_batch():
+            nonlocal perm_i
             img_idx = int(image_perm[perm_i % len(image_perm)])
             data = self.dataset.gen_random_rays(
                 img_idx, self.tcfg.batch_size, self.rng)
             near, far = self.dataset.near_far(
                 data["rays_o"], data["rays_d"])
-            batch = {
-                **{k: jnp.asarray(v) for k, v in data.items()},
-                "near": jnp.asarray(near), "far": jnp.asarray(far),
-                "valid": jnp.ones((self.tcfg.batch_size, 1)),
-            }
-            self.key, sub = jax.random.split(self.key)
-            step_args = (self.params, self.opt_state, batch, sub,
-                         jnp.asarray(self.iter_step, jnp.float32))
-            if self._with_occ:
-                if (self._occ_grid is None or self.iter_step
-                        - self._occ_built_at >= self.tcfg.occ_update_freq):
-                    self._occ_grid = self._build_occ(self.params["sdf"])
-                    self._occ_built_at = self.iter_step
-                step_args = step_args + (self._occ_grid,)
-            self.params, self.opt_state, metrics = self._step_fn(
-                *step_args)
-            self.iter_step += 1
             perm_i += 1
-            if log_every and self.iter_step % log_every == 0:
+            if perm_i % len(image_perm) == 0:
+                image_perm[:] = self.rng.permutation(
+                    self.dataset.n_images)
+            return {**data, "near": near, "far": far,
+                    "valid": np.ones((self.tcfg.batch_size, 1),
+                                     np.float32)}
+
+        while self.iter_step < end:
+            # tail shorter than K runs as single steps (reuses the
+            # already-compiled per-step fn instead of compiling a
+            # one-off shorter scan)
+            k = k_cfg if end - self.iter_step >= k_cfg else 1
+            if self._with_occ and (
+                    self._occ_grid is None or self.iter_step
+                    - self._occ_built_at >= self.tcfg.occ_update_freq):
+                self._occ_grid = self._build_occ(self.params["sdf"])
+                self._occ_built_at = self.iter_step
+            self.key, sub = jax.random.split(self.key)
+            if k > 1:
+                batches = [host_batch() for _ in range(k)]
+                stacked = {
+                    key_: jnp.asarray(np.stack([b[key_] for b in batches]))
+                    for key_ in batches[0]}
+                args = (self.params, self.opt_state, stacked, sub,
+                        jnp.asarray(self.iter_step, jnp.float32))
+                if self._with_occ:
+                    args = args + (self._occ_grid,)
+                self.params, self.opt_state, metrics = \
+                    self._multi_fns(k)(*args)
+            else:
+                batch = {key_: jnp.asarray(v)
+                         for key_, v in host_batch().items()}
+                step_args = (self.params, self.opt_state, batch, sub,
+                             jnp.asarray(self.iter_step, jnp.float32))
+                if self._with_occ:
+                    step_args = step_args + (self._occ_grid,)
+                self.params, self.opt_state, metrics = self._step_fn(
+                    *step_args)
+            self.iter_step += k
+            if log_every and crossed(log_every, k):
                 history.append(
                     {k: float(v) for k, v in metrics.items()})
                 if not np.isfinite(history[-1]["loss"]):
@@ -127,13 +168,11 @@ class NeuSRunner:
                         f"{history[-1]} — failing state saved under "
                         f"debug_failure/; resume from the last good "
                         "checkpoint")
-            if self.iter_step % self.tcfg.save_freq == 0:
+            if crossed(self.tcfg.save_freq, k):
                 self.save_checkpoint()
             if self.val_dataset is not None and \
-                    self.iter_step % self.tcfg.val_freq == 0:
+                    crossed(self.tcfg.val_freq, k):
                 self.validate_image(0)
-            if perm_i % len(image_perm) == 0:
-                image_perm = self.rng.permutation(self.dataset.n_images)
         return history
 
     # -- validation (nerf_runner.py:234-379, simplified outputs) -----------

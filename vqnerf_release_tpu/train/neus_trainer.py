@@ -21,6 +21,7 @@ import optax
 from ..models.neus import NeuSConfig, neus_render
 
 __all__ = ["NeuSTrainConfig", "neus_lr_factor", "cos_anneal_ratio",
+           "make_neus_multi_step",
            "init_neus_opt_state", "make_neus_train_step"]
 
 
@@ -47,6 +48,12 @@ class NeuSTrainConfig:
     occ_update_freq: int = 250
     occ_margin: float = 3.0
     occ_floor: float = 0.05
+    # >1: run K optimizer steps per device dispatch via lax.scan over a
+    # stacked [K, R, ...] batch — amortizes per-call dispatch latency
+    # (dominant under high-latency links; measured ~95 ms wall vs
+    # 14.3 ms compute per step through the axon tunnel). Checkpoint /
+    # validation cadence quantizes to K.
+    steps_per_dispatch: int = 1
 
 
 def neus_lr_factor(step, tcfg: NeuSTrainConfig):
@@ -133,3 +140,34 @@ def make_neus_train_step(cfg: NeuSConfig, tcfg: NeuSTrainConfig, radius,
                               occ_grid)
         return train_step_occ
     return train_step
+
+
+def make_neus_multi_step(cfg: NeuSConfig, tcfg: NeuSTrainConfig, radius,
+                         k, with_occ=False):
+    """K chained optimizer steps in ONE dispatch (lax.scan).
+
+    fn(params, opt_state, batches, key, base_step[, occ_grid]) ->
+    (params, opt_state, last_metrics); `batches` is the single-step
+    batch dict with a leading [K] axis. Step indices base_step..+k-1
+    drive the LR/anneal schedules exactly as k single steps would.
+    """
+    step_fn = make_neus_train_step(cfg, tcfg, radius, with_occ=with_occ)
+
+    def multi_step(params, opt_state, batches, key, base_step,
+                   occ_grid=None):
+        def body(carry, inp):
+            params, opt_state = carry
+            i, batch = inp
+            sub = jax.random.fold_in(key, i)
+            args = (params, opt_state, batch, sub, base_step + i)
+            if with_occ:
+                args = args + (occ_grid,)
+            params, opt_state, metrics = step_fn(*args)
+            return (params, opt_state), metrics
+        (params, opt_state), ms = jax.lax.scan(
+            body, (params, opt_state),
+            (jnp.arange(k, dtype=jnp.float32), batches))
+        last = jax.tree_util.tree_map(lambda x: x[-1], ms)
+        return params, opt_state, last
+
+    return multi_step
