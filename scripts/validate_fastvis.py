@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--imh", type=int, default=64)
     ap.add_argument("--light-h", type=int, default=16)  # 512 lights
     ap.add_argument("--factor", type=float, default=2.0)
+    ap.add_argument("--vis-sampler", default=None,
+                    help="also validate a reduced occlusion sampler "
+                         "(e.g. 32+16r2) against the parity full path")
     args = ap.parse_args()
 
     import importlib.util
@@ -60,10 +63,13 @@ def main():
     runner.train(log_every=max(args.geo_iters // 4, 1))
     print(f"trained {args.geo_iters} iters in {time.time()-t0:.0f}s")
 
+    # occlusion at the reference-parity sampler regardless of the
+    # (fast) training cfg — this is the production extraction setup
     ex = GeoExtractor(runner.params, cfg, ds, join(args.root, "surf"),
                       use_white_bkgd=True, batch_size=4096,
                       light_h=args.light_h, vis_point_batch=64,
-                      fast_vis=True, fast_vis_factor=args.factor)
+                      fast_vis=True, fast_vis_factor=args.factor,
+                      vis_sampler="64+64r4")
     view_dir = join(args.root, "surf", "train_000")
     os.makedirs(view_dir, exist_ok=True)
     surf, normal, mask = ex.compute_geo(0, view_dir)
@@ -124,6 +130,24 @@ def main():
         print(f"certified rays: {cert.sum()} "
               f"(full-path vis on them: min {v.min():.4f}, "
               f"frac < 0.99: {(v < 0.99).mean():.6f})")
+
+    if args.vis_sampler:
+        # reduced occlusion sampler vs the parity full path
+        ex2 = GeoExtractor(runner.params, cfg, ds,
+                           join(args.root, "surf2"),
+                           use_white_bkgd=True, batch_size=4096,
+                           light_h=args.light_h, vis_point_batch=64,
+                           vis_sampler=args.vis_sampler)
+        _ = ex2._lvis_full(surf_fg[:64], normal_fg[:64])  # warm
+        t0 = time.time()
+        lv_red = ex2._lvis_full(surf_fg, normal_fg)
+        t_red = time.time() - t0
+        d2 = np.abs(lv_full - lv_red)
+        print(f"vis-sampler {args.vis_sampler} vs parity: "
+              f"max |dlvis| {d2.max():.4f}, mean {d2.mean():.6f}, "
+              f"frac > 0.01: {(d2 > 0.01).mean():.5f}, "
+              f"frac > 0.05: {(d2 > 0.05).mean():.6f}; "
+              f"wall {t_red:.1f}s -> {t_full / t_red:.2f}x vs parity")
 
 
 if __name__ == "__main__":

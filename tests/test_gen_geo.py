@@ -406,3 +406,35 @@ def test_cli_gen_geo_fastvis_default(tmp_path, monkeypatch):
     assert seen[-1]["fast_vis"] is False
     cli.main(base + ["--no-vis"])  # no lvis -> flag irrelevant, off
     assert seen[-1]["fast_vis"] is False
+
+
+def test_vis_sampler_reduced_occlusion(extracted):
+    """GeoExtractor(vis_sampler=...) uses a reduced occlusion sampler
+    whose lvis closely matches the geometry-config occlusion on the
+    test sphere, and rejects malformed specs."""
+    root, out_dir, dirs = extracted
+    ds = NerfSceneDataset(root, is_train=True, near=0.5, far=3.5)
+    cfg = NeuSConfig(n_samples=16, n_importance=16, up_sample_steps=2,
+                     perturb=0.0)
+    params = init_neus(0, cfg)
+
+    ex_ref = GeoExtractor(params, cfg, ds, out_dir, batch_size=64,
+                          light_h=LIGHT_H, vis_point_batch=16)
+    ex_red = GeoExtractor(params, cfg, ds, out_dir, batch_size=64,
+                          light_h=LIGHT_H, vis_point_batch=16,
+                          vis_sampler="8+8r1")
+    assert ex_red.vis_cfg.n_samples == 8
+    assert ex_red.vis_cfg.up_sample_steps == 1
+    assert ex_ref.vis_cfg is cfg
+
+    rs = np.random.RandomState(0)
+    surf = (rs.rand(16, 3).astype(np.float32) - 0.5) * 0.6
+    normal = rs.randn(16, 3).astype(np.float32)
+    normal /= np.linalg.norm(normal, axis=1, keepdims=True)
+    lv_ref = ex_ref._lvis_full(surf, normal)
+    lv_red = ex_red._lvis_full(surf, normal)
+    assert lv_red.shape == lv_ref.shape
+    assert np.abs(lv_ref - lv_red).mean() < 0.05
+
+    with pytest.raises(ValueError, match="vis_sampler"):
+        GeoExtractor(params, cfg, ds, out_dir, vis_sampler="bogus")

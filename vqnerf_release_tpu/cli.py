@@ -167,7 +167,8 @@ def cmd_gen_geo(args):
                           fast_vis=fast_vis,
                           fast_vis_factor=args.fast_vis_factor,
                           use_pallas=getattr(args, "pallas", False),
-                          mesh=mesh)
+                          mesh=mesh,
+                          vis_sampler=getattr(args, "vis_sampler", None))
         ex.extract_views(is_train=is_train, num_p=num_p,
                          p_i=p_i, no_vis=no_vis)
 
@@ -529,6 +530,11 @@ def main(argv=None):
     p.add_argument("--no-fast-vis", action="store_true",
                    help="force the full occlusion render on every "
                         "front-lit shadow ray")
+    p.add_argument("--vis-sampler", default=None,
+                   help="occlusion-render sampler for lvis, e.g. "
+                        "'32+16r2' (default: the geometry render's "
+                        "parity config; validate alternatives with "
+                        "scripts/validate_fastvis.py --vis-sampler)")
     p.add_argument("--fast-vis-factor", type=float, default=2.0,
                    help="safety factor on the coarse certification "
                         "margin (>= 1; higher = more conservative)")

@@ -64,7 +64,8 @@ class GeoExtractor:
                  use_white_bkgd=True, batch_size=4096, light_h=16,
                  vis_point_batch=64, alpha_thres_val=0.5,
                  light_tile=None, use_pallas=False, mesh=None,
-                 fast_vis=False, fast_vis_factor=2.0, n_coarse=16):
+                 fast_vis=False, fast_vis_factor=2.0, n_coarse=16,
+                 vis_sampler=None):
         self.mesh = mesh
         if mesh is not None:
             # replicate params, shard ray batches over the mesh
@@ -81,6 +82,24 @@ class GeoExtractor:
         self.fast_vis = fast_vis
         self.fast_vis_factor = fast_vis_factor
         self.n_coarse = n_coarse
+        # Occlusion-render sampler for the lvis shadow pass. The default
+        # is the geometry render's own config (reference parity,
+        # gen_geo.py:231-238); a reduced sampler like "32+16r2" is a
+        # validated ~2.5x lever (scripts/validate_fastvis.py gates it).
+        if vis_sampler:
+            import re as _re
+            from dataclasses import replace as _replace
+            m = _re.fullmatch(r"(\d+)\+(\d+)r(\d+)", vis_sampler)
+            if not m:
+                raise ValueError(
+                    f"vis_sampler must look like '32+16r2', got "
+                    f"{vis_sampler!r}")
+            vis_cfg = _replace(cfg, n_samples=int(m.group(1)),
+                               n_importance=int(m.group(2)),
+                               up_sample_steps=int(m.group(3)))
+        else:
+            vis_cfg = cfg
+        self.vis_cfg = vis_cfg
         lxyz, _ = gen_light_xyz(light_h, 2 * light_h)
         self.lxyz = jnp.asarray(lxyz.reshape(-1, 3), jnp.float32)
         self.n_lights = self.lxyz.shape[0]
@@ -143,8 +162,9 @@ class GeoExtractor:
                 near = jnp.minimum(
                     jnp.full_like(far, 0.1), far / 2.0)
                 occ = neus_occlusion(
-                    params, cfg, o_rep, d_chunk, near, far, self.radius,
-                    cos_anneal_ratio=1.0, use_pallas=use_pallas)
+                    params, vis_cfg, o_rep, d_chunk, near, far,
+                    self.radius, cos_anneal_ratio=1.0,
+                    use_pallas=use_pallas)
                 return None, occ.reshape(b, tile)
 
             _, occ_tiles = jax.lax.scan(body, None, d_tiles)
@@ -209,7 +229,7 @@ class GeoExtractor:
             far = intersect_sphere_far(o, d, self.radius)
             near = jnp.minimum(jnp.full_like(far, 0.1), far / 2.0)
             return neus_occlusion(
-                params, cfg, o, d, near, far, self.radius,
+                params, vis_cfg, o, d, near, far, self.radius,
                 cos_anneal_ratio=1.0, use_pallas=use_pallas)
 
         self._coarse_batch = _coarse_batch
