@@ -13,6 +13,7 @@ mirroring output/train/<scene>_<model>/lr<lr> and surf/<family>_surf.
 
 import argparse
 import os
+from typing import Optional
 
 import numpy as np
 
@@ -187,7 +188,7 @@ def _apply_preset_overrides(cfg, override_str):
             kw[k] = int(v)
         elif t in (float, "float"):
             kw[k] = float(v)
-        elif t in (bool, "bool"):
+        elif t in (bool, "bool", Optional[bool], "Optional[bool]"):
             kw[k] = v.lower() == "true"
         else:
             kw[k] = v

@@ -18,7 +18,7 @@ TPU-native design notes:
 """
 
 from dataclasses import dataclass, field
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -78,9 +78,12 @@ class DecompConfig:
     xyz_jitter_std: float = 0.01  # ref_nfr only
     keep_recent_epochs: int = -1  # <=0 keeps all (trainvali.py:163-167)
     # inference: route the primary (single-envmap) render through the
-    # fused Pallas BRDF+integration kernel (ops/pallas/render_kernel.py);
-    # enable via --preset-override use_fused_render=True
-    use_fused_render: bool = False
+    # fused Pallas BRDF+integration kernel (ops/pallas/render_kernel.py).
+    # None = auto: ON when the backend is TPU (measured 1.65x: 6.4 vs
+    # 10.6 ms per 65k-ray view, agreement-tested), OFF elsewhere (the
+    # interpret-mode kernel is far slower than the jnp path on CPU).
+    # Force with --preset-override use_fused_render=True/False.
+    use_fused_render: Optional[bool] = None
 
     @property
     def light_res(self) -> Tuple[int, int]:
@@ -118,6 +121,13 @@ class DecompConfig:
         ]
         lst.reverse()
         return lst
+
+
+def fused_render_enabled(cfg: DecompConfig):
+    """Resolve the use_fused_render auto default (None -> TPU only)."""
+    if cfg.use_fused_render is None:
+        return jax.default_backend() == "tpu"
+    return bool(cfg.use_fused_render)
 
 
 def light_constants(cfg: DecompConfig):

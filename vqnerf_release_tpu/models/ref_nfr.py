@@ -195,7 +195,7 @@ def ref_fast_render(params, batch, cfg: dc.DecompConfig, lxyz, lareas,
 
     light = jax.lax.stop_gradient(params["frozen"]["light"])
     gamma = _gamma(params, cfg)
-    if cfg.use_fused_render and not relight:
+    if dc.fused_render_enabled(cfg) and not relight:
         from ..ops.render import fused_render_equation
         rgb_pred = fused_render_equation(
             xyz, normal_pred, surf2c, albedo, rough, spec, lvis,

@@ -318,7 +318,7 @@ def vq_fast_render(params, batch, cfg: dc.DecompConfig, lxyz, lareas,
     light = dc.get_light(params) if dst_env is None else dst_env
     gamma = None if cfg.is_nerf else dc.get_gamma(params)
     relight = novel_probes is not None or novel_olat is not None
-    if cfg.use_fused_render and not relight:
+    if dc.fused_render_enabled(cfg) and not relight:
         # fused kernel: no [N, L, 3] brdf tensor in HBM
         from ..ops.render import fused_render_equation
         rgb_pred = fused_render_equation(
