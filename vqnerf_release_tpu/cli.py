@@ -169,7 +169,8 @@ def cmd_gen_geo(args):
                           fast_vis_factor=args.fast_vis_factor,
                           use_pallas=getattr(args, "pallas", False),
                           mesh=mesh,
-                          vis_sampler=getattr(args, "vis_sampler", None))
+                          vis_sampler=getattr(args, "vis_sampler", None),
+                          occ_vis=getattr(args, "occ_vis", False))
         ex.extract_views(is_train=is_train, num_p=num_p,
                          p_i=p_i, no_vis=no_vis)
 
@@ -536,6 +537,11 @@ def main(argv=None):
                         "'32+16r2' (default: the geometry render's "
                         "parity config; validate alternatives with "
                         "scripts/validate_fastvis.py --vis-sampler)")
+    p.add_argument("--occ-vis", action="store_true",
+                   help="draw the occlusion render's initial samples "
+                        "from the SDF-occupancy PDF (multi-interval), "
+                        "keeping reduced --vis-sampler configs dense "
+                        "wherever the surface can be")
     p.add_argument("--fast-vis-factor", type=float, default=2.0,
                    help="safety factor on the coarse certification "
                         "margin (>= 1; higher = more conservative)")

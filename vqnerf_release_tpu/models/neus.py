@@ -340,11 +340,18 @@ def neus_render(params, cfg: NeuSConfig, rays_o, rays_d, near, far, radius,
 
 
 def neus_occlusion(params, cfg: NeuSConfig, rays_o, rays_d, near, far,
-                   radius, cos_anneal_ratio=1.0, use_pallas=False):
+                   radius, cos_anneal_ratio=1.0, use_pallas=False,
+                   occ_grid=None, occ_floor=0.05):
     """weight_sum only — the light-visibility shadow pass (gen_geo
     compute_vis) needs neither the color network nor the feature vector,
     which cuts both FLOPs and the vjp HBM temporaries that cap the
-    point batch. Sampling/alpha math identical to neus_render."""
+    point batch. Sampling/alpha math identical to neus_render.
+
+    occ_grid: optional occupancy grid — initial samples draw from the
+    per-ray occupancy PDF (multi-interval: they land on every occupied
+    band the shadow ray crosses, not just the first-to-last span), which
+    is what lets a reduced sampler stay exact; the floor keeps uniform
+    coverage as a safety net."""
     batch_size = rays_o.shape[0]
     # constant section length — compute_vis calls render() WITHOUT
     # to_light (gen_geo.py:231-238), so sample_dist = 2 r / n
@@ -367,8 +374,14 @@ def neus_occlusion(params, cfg: NeuSConfig, rays_o, rays_d, near, far,
             fused_fwdgrad = lambda pts: sdf_fwdgrad_pallas(
                 params["sdf"], pts, cfg.sdf, interpret=interp)
 
-    z_lin = jnp.linspace(0.0, 1.0, cfg.n_samples)
-    z_vals = near + (far - near) * z_lin[None, :]
+    if occ_grid is not None:
+        from ..ops.occupancy import sample_z_occ
+        z_vals = sample_z_occ(rays_o, rays_d, near, far, occ_grid,
+                              radius, cfg.n_samples, key=None,
+                              floor=occ_floor)
+    else:
+        z_lin = jnp.linspace(0.0, 1.0, cfg.n_samples)
+        z_vals = near + (far - near) * z_lin[None, :]
 
     n_samples = cfg.n_samples
     if cfg.n_importance > 0:

@@ -28,7 +28,8 @@ import numpy as np
 
 from .sampling import sample_pdf
 
-__all__ = ["build_occ_grid", "ray_bin_occupancy", "sample_z_occ"]
+__all__ = ["build_occ_grid", "ray_bin_occupancy", "ray_occupied_span",
+           "sample_z_occ"]
 
 
 def build_occ_grid(sdf_params, sdf_cfg, radius, res=64, margin_factor=3.0):
@@ -69,6 +70,43 @@ def ray_bin_occupancy(rays_o, rays_d, near, far, grid, radius, n_bins):
     vals = grid[idx[..., 0], idx[..., 1], idx[..., 2]]  # [R, B]
     inside = jnp.all((idx_f >= 0) & (idx_f < res), axis=-1)
     return vals * inside.astype(vals.dtype)
+
+
+def ray_occupied_span(rays_o, rays_d, near, far, grid, radius,
+                      n_bins=32, pad_bins=1):
+    """Tighten each ray's [near, far] to the span of grid-occupied bins.
+
+    With an Eikonal-trained SDF and a conservatively-margined grid
+    (build_occ_grid), a surface can only exist inside occupied cells —
+    so restricting the occlusion render to the occupied span (padded by
+    pad_bins on each side) cannot clip out an occluder, while packing
+    the render's fixed sample count into a far smaller interval. This is
+    what makes a REDUCED occlusion sampler safe for lvis: 16+16 samples
+    over a tightened span are denser than 64+64 over the full
+    sphere-exit span (the failure mode that disqualified sample
+    reduction alone — thin occluders stepped over — needs empty space to
+    hide in, and the tightened span has none).
+
+    Returns (near', far', any_occupied[R, 1]); rays with no occupied
+    bins keep their input span and carry any=0 (caller zeroes their
+    occlusion — they are provably free, the same certificate as
+    fast-vis).
+    """
+    occ = ray_bin_occupancy(rays_o, rays_d, near, far, grid, radius,
+                            n_bins)  # [R, B]
+    idx = jnp.arange(n_bins, dtype=jnp.float32)
+    big = jnp.float32(n_bins)
+    first = jnp.min(jnp.where(occ > 0, idx, big), axis=-1,
+                    keepdims=True)  # [R, 1]
+    last = jnp.max(jnp.where(occ > 0, idx, -1.0), axis=-1,
+                   keepdims=True)
+    any_occ = (last >= 0).astype(jnp.float32)
+    lo = jnp.clip(first - pad_bins, 0.0, n_bins) / n_bins
+    hi = jnp.clip(last + 1 + pad_bins, 0.0, n_bins) / n_bins
+    span = far - near
+    near2 = jnp.where(any_occ > 0, near + lo * span, near)
+    far2 = jnp.where(any_occ > 0, near + hi * span, far)
+    return near2, far2, any_occ
 
 
 def sample_z_occ(rays_o, rays_d, near, far, grid, radius, n_samples,

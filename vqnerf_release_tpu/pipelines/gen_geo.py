@@ -65,7 +65,8 @@ class GeoExtractor:
                  vis_point_batch=64, alpha_thres_val=0.5,
                  light_tile=None, use_pallas=False, mesh=None,
                  fast_vis=False, fast_vis_factor=2.0, n_coarse=16,
-                 vis_sampler=None):
+                 vis_sampler=None, occ_vis=False,
+                 occ_vis_res=64, occ_vis_margin=2.0):
         self.mesh = mesh
         if mesh is not None:
             # replicate params, shard ray batches over the mesh
@@ -100,6 +101,20 @@ class GeoExtractor:
         else:
             vis_cfg = cfg
         self.vis_cfg = vis_cfg
+        # occ-guided occlusion: initial shadow-ray samples draw from the
+        # SDF-occupancy PDF (ops/occupancy.sample_z_occ — multi-interval,
+        # so every occupied band along the ray gets samples), which is
+        # what keeps a reduced vis_sampler exact; the uniform floor is
+        # the safety net for anything the grid missed
+        self.occ_vis = occ_vis
+        vis_grid = None
+        if occ_vis:
+            from ..ops.occupancy import build_occ_grid
+            vis_grid = build_occ_grid(
+                self.params["sdf"], cfg.sdf,
+                radius=float(dataset.max_radius),
+                res=occ_vis_res, margin_factor=occ_vis_margin)
+        self._vis_grid = vis_grid
         lxyz, _ = gen_light_xyz(light_h, 2 * light_h)
         self.lxyz = jnp.asarray(lxyz.reshape(-1, 3), jnp.float32)
         self.n_lights = self.lxyz.shape[0]
@@ -164,7 +179,7 @@ class GeoExtractor:
                 occ = neus_occlusion(
                     params, vis_cfg, o_rep, d_chunk, near, far,
                     self.radius, cos_anneal_ratio=1.0,
-                    use_pallas=use_pallas)
+                    use_pallas=use_pallas, occ_grid=vis_grid)
                 return None, occ.reshape(b, tile)
 
             _, occ_tiles = jax.lax.scan(body, None, d_tiles)
@@ -230,7 +245,8 @@ class GeoExtractor:
             near = jnp.minimum(jnp.full_like(far, 0.1), far / 2.0)
             return neus_occlusion(
                 params, vis_cfg, o, d, near, far, self.radius,
-                cos_anneal_ratio=1.0, use_pallas=use_pallas)
+                cos_anneal_ratio=1.0, use_pallas=use_pallas,
+                occ_grid=vis_grid)
 
         self._coarse_batch = _coarse_batch
         self._occ_chunk = _occ_chunk
