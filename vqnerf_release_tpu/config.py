@@ -172,6 +172,7 @@ _INI_FIELDS = {
     "chr_alpha": float, "chr_thres": float, "lr": float,
     "lr_decay_steps": lambda s: int(s.replace("_", "")),
     "lr_decay_rate": float,
+    "clipnorm": float, "clipvalue": float,
     "n_rays_per_step": int, "epochs": int, "thres_str": str,
     "total_sample_vq": int, "best_thres": float,
     "random_seed": int, "xyz_jitter_std": float,

@@ -69,6 +69,16 @@ class DecompConfig:
     lr: float = 5e-4
     lr_decay_steps: int = 500_000
     lr_decay_rate: float = 0.1
+    # Gradient clipping (trainvali.py:145-154; reference INIs ship both
+    # at -1 = off, kept for parity). At most one may be > 0.
+    clipnorm: float = -1.0
+    clipvalue: float = -1.0
+    # Production hardening beyond the reference: a single non-finite
+    # gradient (observed ~1-in-2 long vq runs on the synthetic sphere —
+    # the reference is equally exposed) otherwise poisons every param
+    # through adam in one step. When on, such steps apply a zero update
+    # and leave optimizer/EMA state untouched.
+    skip_nonfinite_updates: bool = True
     n_rays_per_step: int = 1024
     epochs: int = 150
     thres_str: str = "0.1;0.15;0.2;0.25;0.3;0.35;0.4;0.45;0.5;0.55;0.6;0.65"

@@ -33,12 +33,59 @@ def decomp_lr(step, cfg: dc.DecompConfig):
     return cfg.lr * cfg.lr_decay_rate ** (step / cfg.lr_decay_steps)
 
 
-def _amsgrad():
-    return optax.scale_by_amsgrad()
+def _amsgrad(cfg: dc.DecompConfig = None):
+    """amsgrad, optionally preceded by the reference's clipnorm/
+    clipvalue (trainvali.py:145-154; both off in the shipped INIs)."""
+    chain = []
+    if cfg is not None:
+        assert not (cfg.clipnorm > 0 and cfg.clipvalue > 0), \
+            "Both `clipnorm` and `clipvalue` are active -- turn one off"
+        if cfg.clipnorm > 0:
+            chain.append(optax.clip_by_global_norm(cfg.clipnorm))
+        if cfg.clipvalue > 0:
+            chain.append(optax.clip(cfg.clipvalue))
+    chain.append(optax.scale_by_amsgrad())
+    return optax.chain(*chain) if len(chain) > 1 else chain[0]
+
+
+def _grads_finite(grads):
+    leaves = jax.tree_util.tree_leaves(grads)
+    return jnp.all(jnp.asarray(
+        [jnp.all(jnp.isfinite(l)) for l in leaves]))
+
+
+def _select(ok, new, old):
+    """Per-leaf where(ok, new, old) over matching pytrees."""
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.where(ok, a, b), new, old)
+
+
+def _step_ok(loss, grads):
+    """Healthy step: finite loss AND finite gradients. Both checks are
+    required — a NaN loss can yield FINITE-but-meaningless grads (e.g.
+    the |x| backward lowers to select(x>=0, 1, -1), which is finite at
+    NaN), and NaN params yield NaN grads with whatever loss."""
+    return jnp.isfinite(loss) & _grads_finite(grads)
+
+
+def _guarded_update(cfg, tx, loss, grads, params, opt_state, lr, ld):
+    """Apply the adam update, skipping it entirely (params AND optimizer
+    state untouched) when the step is unhealthy. Records the skip in
+    ld['nonfinite_grads']."""
+    updates, new_opt = tx.update(grads, opt_state, params)
+    updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+    new_params = optax.apply_updates(params, updates)
+    if not cfg.skip_nonfinite_updates:
+        return new_params, new_opt, ld
+    ok = _step_ok(loss, grads)
+    ld = dict(ld)
+    ld["nonfinite_grads"] = 1.0 - ok.astype(jnp.float32)
+    return (_select(ok, new_params, params),
+            _select(ok, new_opt, opt_state), ld)
 
 
 def make_nfr_unit_step(cfg: dc.DecompConfig, lxyz, lareas):
-    tx = _amsgrad()
+    tx = _amsgrad(cfg)
 
     def loss_fn(params, batch):
         _, aux = nfr_unit_forward(
@@ -50,9 +97,8 @@ def make_nfr_unit_step(cfg: dc.DecompConfig, lxyz, lareas):
         (loss, ld), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, batch)
         lr = decomp_lr(step, cfg)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
-        params = optax.apply_updates(params, updates)
+        params, opt_state, ld = _guarded_update(
+            cfg, tx, loss, grads, params, opt_state, lr, ld)
         return params, opt_state, ld
 
     return tx, step_fn
@@ -64,7 +110,7 @@ def make_vq_nfr_step(cfg: dc.DecompConfig, lxyz, lareas):
     codebook is 'trainable' in TF but its gradient path only matters via
     get_codebook in the sim loss; the EMA assignment then overwrites the
     raw variable — we therefore apply grads first, then assign)."""
-    tx = _amsgrad()
+    tx = _amsgrad(cfg)
 
     def loss_fn(params, ema_state, batch, thres, rng):
         _, aux, new_ema = vq_nfr_forward(
@@ -75,15 +121,22 @@ def make_vq_nfr_step(cfg: dc.DecompConfig, lxyz, lareas):
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def step_fn(params, ema_state, opt_state, batch, thres, rng, step):
+        old_params, old_ema = params, ema_state
         (loss, (ld, new_ema, cb_update)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, ema_state, batch, thres, rng)
         lr = decomp_lr(step, cfg)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
-        params = optax.apply_updates(params, updates)
+        params, opt_state, ld = _guarded_update(
+            cfg, tx, loss, grads, params, opt_state, lr, ld)
         # EMA overwrite of the raw codebook (outside gradients)
         params = dict(params)
         params["codebook"] = cb_update
+        if cfg.skip_nonfinite_updates:
+            # a poisoned batch also contaminates the EMA statistics and
+            # the codebook proposal — discard those too on skipped steps
+            ok = _step_ok(loss, grads)
+            new_ema = _select(ok, new_ema, old_ema)
+            params["codebook"] = jnp.where(
+                ok, cb_update, old_params["codebook"])
         return params, new_ema, opt_state, ld
 
     return tx, step_fn
@@ -91,7 +144,7 @@ def make_vq_nfr_step(cfg: dc.DecompConfig, lxyz, lareas):
 
 def make_ref_nfr_step(cfg: dc.DecompConfig, lxyz, lareas):
     """Optimizes only params['train'] (frozen subtree untouched)."""
-    tx = _amsgrad()
+    tx = _amsgrad(cfg)
 
     def loss_fn(train_params, frozen, batch):
         params = {"frozen": frozen, "train": train_params}
@@ -104,9 +157,8 @@ def make_ref_nfr_step(cfg: dc.DecompConfig, lxyz, lareas):
         (loss, ld), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params["train"], params["frozen"], batch)
         lr = decomp_lr(step, cfg)
-        updates, opt_state = tx.update(grads, opt_state, params["train"])
-        updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
-        train_params = optax.apply_updates(params["train"], updates)
+        train_params, opt_state, ld = _guarded_update(
+            cfg, tx, loss, grads, params["train"], opt_state, lr, ld)
         return ({"frozen": params["frozen"], "train": train_params},
                 opt_state, ld)
 

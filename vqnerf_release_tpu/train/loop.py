@@ -75,6 +75,19 @@ def _log_scalars(outdir, epoch, scalars):
         f.write(json.dumps({"epoch": epoch, **scalars}) + "\n")
 
 
+def _finite_mean(vals):
+    """Epoch loss over HEALTHY steps only: steps skipped by the
+    nonfinite-update guard (decomp_trainer._guarded_update) carry a NaN
+    loss but left params untouched, so they must not poison the epoch
+    rollup. Returns (mean, n_skipped); mean is NaN iff EVERY step was
+    skipped (then _check_finite aborts, as it should)."""
+    arr = np.asarray([float(v) for v in vals], np.float64)
+    finite = np.isfinite(arr)
+    n_skipped = int((~finite).sum())
+    mean = float(arr[finite].mean()) if finite.any() else float("nan")
+    return mean, n_skipped
+
+
 def _check_finite(outdir, phase, epoch, scalars, state):
     """Divergence guard: on a non-finite epoch loss, checkpoint the exact
     failing state under <outdir>/debug_failure/ and raise with context.
@@ -241,9 +254,11 @@ def train_nfr_unit(cfg: dc.DecompConfig, train_views, vali_views, outdir,
             # async dispatch pipeline against host-side sampling
             losses.append(ld["loss"])
             step += 1
-        history.append(float(np.mean([float(l) for l in losses])))
+        mean_loss, n_skipped = _finite_mean(losses)
+        history.append(mean_loss)
         e1 = epoch + 1
-        _log_scalars(outdir, e1, {"loss_train": history[-1]})
+        _log_scalars(outdir, e1, {"loss_train": history[-1],
+                                  "skipped_steps": n_skipped})
         _check_finite(outdir, "nfr_unit", e1, {"loss_train": history[-1]},
                       {"params": params, "opt_state": opt_state,
                        "epoch": e1})
@@ -357,12 +372,15 @@ def train_vq_nfr(cfg: dc.DecompConfig, nfr_params, train_views, vali_views,
             step += 1
         loss_dicts = [
             {k: float(v) for k, v in d.items()} for d in loss_dicts]
-        history.append(float(np.mean([d["loss"] for d in loss_dicts])))
+        mean_loss, n_skipped = _finite_mean(
+            [d["loss"] for d in loss_dicts])
+        history.append(mean_loss)
 
         e1 = epoch + 1
         _log_scalars(outdir, e1, {
-            k: float(np.mean([d[k] for d in loss_dicts]))
-            for k in loss_dicts[0]})
+            **{k: _finite_mean([d[k] for d in loss_dicts])[0]
+               for k in loss_dicts[0]},
+            "skipped_steps": n_skipped})
         _check_finite(outdir, "vq_nfr", e1, {"loss": history[-1]},
                       {"params": params, "ema": ema_state,
                        "opt_state": opt_state, "epoch": e1})
@@ -490,9 +508,11 @@ def train_ref_nfr(cfg: dc.DecompConfig, vq_params, light, train_views,
                 params, opt_state, batch, jnp.asarray(step, jnp.float32))
             losses.append(ld["loss"])  # device array; sync at epoch end
             step += 1
-        history.append(float(np.mean([float(l) for l in losses])))
+        mean_loss, n_skipped = _finite_mean(losses)
+        history.append(mean_loss)
         e1 = epoch + 1
-        _log_scalars(outdir, e1, {"loss_train": history[-1]})
+        _log_scalars(outdir, e1, {"loss_train": history[-1],
+                                  "skipped_steps": n_skipped})
         _check_finite(outdir, "ref_nfr", e1, {"loss_train": history[-1]},
                       {"params": params, "opt_state": opt_state,
                        "epoch": e1})

@@ -158,7 +158,11 @@ class NeuSRunner:
             if log_every and crossed(log_every, k):
                 history.append(
                     {k: float(v) for k, v in metrics.items()})
-                if not np.isfinite(history[-1]["loss"]):
+                # a NaN loss WITH the skip marker means the step guard
+                # dropped a poisoned batch and params are intact — only
+                # an unguarded non-finite loss is a real divergence
+                guarded = history[-1].get("nonfinite_grads", 0.0) > 0.5
+                if not guarded and not np.isfinite(history[-1]["loss"]):
                     # divergence guard: keep the failing state for triage
                     # and stop instead of silently corrupting later iters
                     self.save_checkpoint(

@@ -54,6 +54,11 @@ class NeuSTrainConfig:
     # 14.3 ms compute per step through the axon tunnel). Checkpoint /
     # validation cadence quantizes to K.
     steps_per_dispatch: int = 1
+    # skip (zero-update) any step whose gradients are non-finite instead
+    # of letting one poisoned batch corrupt every parameter through adam
+    # (production hardening; the divergence guard in the loop remains
+    # the backstop)
+    skip_nonfinite_updates: bool = True
 
 
 def neus_lr_factor(step, tcfg: NeuSTrainConfig):
@@ -128,9 +133,21 @@ def make_neus_train_step(cfg: NeuSConfig, tcfg: NeuSTrainConfig, radius,
         (_, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, batch, key, anneal, occ_grid)
         lr = tcfg.learning_rate * neus_lr_factor(step, tcfg)
-        updates, opt_state = adam.update(grads, opt_state, params)
+        updates, new_opt = adam.update(grads, opt_state, params)
         updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
-        params = optax.apply_updates(params, updates)
+        new_params = optax.apply_updates(params, updates)
+        if tcfg.skip_nonfinite_updates:
+            leaves = jax.tree_util.tree_leaves(grads)
+            # loss AND grads: a NaN loss can yield finite-but-garbage
+            # grads (|x| backward lowers to a select, finite at NaN)
+            ok = jnp.isfinite(metrics["loss"]) & jnp.all(jnp.asarray(
+                [jnp.all(jnp.isfinite(l)) for l in leaves]))
+            sel = lambda a, b: jax.tree_util.tree_map(
+                lambda x, y: jnp.where(ok, x, y), a, b)
+            new_params, new_opt = sel(new_params, params), \
+                sel(new_opt, opt_state)
+            metrics["nonfinite_grads"] = 1.0 - ok.astype(jnp.float32)
+        params, opt_state = new_params, new_opt
         metrics["lr"] = lr
         return params, opt_state, metrics
 
