@@ -30,14 +30,19 @@ def _install_sonnet():
     import numpy as np
     import tensorflow as tf
 
-    class Module:
-        def __init__(self, name=None):
-            self.name = name
+    class Module(tf.Module):
+        """sonnet Modules are tf.Modules: checkpoint auto-tracking of the
+        EMA variables (net/vq_layer/ema_*/...) depends on this, matching
+        the reference's checkpoint key layout."""
 
-    class ExponentialMovingAverage:
+        def __init__(self, name=None):
+            super().__init__(name=None)
+
+    class ExponentialMovingAverage(tf.Module):
         """sonnet/src/moving_averages.py semantics (v2, zero-debiased)."""
 
         def __init__(self, decay, name=None):
+            super().__init__(name=None)
             self._decay = decay
             self._counter = tf.Variable(
                 0, trainable=False, dtype=tf.int64, name="counter")

@@ -158,6 +158,9 @@ def cmd_gen_geo(args):
     # a trained scene at 512 lights (max |dlvis| 0.004, zero rays off by
     # >0.01, every certified ray confirmed fully visible by the full
     # path — BASELINE.md r2); --no-fast-vis is the escape hatch
+    if args.fast_vis and args.no_fast_vis:
+        raise SystemExit("--fast-vis and --no-fast-vis are mutually "
+                         "exclusive")
     fast_vis = (args.fast_vis
                 or (not no_vis and not args.no_fast_vis))
     for is_train in (True, False):

@@ -109,6 +109,9 @@ def decomp_config_for_scene(scene, **overrides):
     return DecompConfig(**kw), light_init
 
 
+_FAST_SAMPLER_NOTICED = False
+
+
 def neus_configs_for_scene(scene, **overrides):
     family = scene_family(scene)
     kw = dict(_FAMILY_GEO[family])
@@ -116,12 +119,30 @@ def neus_configs_for_scene(scene, **overrides):
     new_h = kw.pop("new_h")
     kw.update(_GEO_FAST_SAMPLER)
     kw.update(overrides)
+    known = (set(NeuSTrainConfig.__dataclass_fields__)
+             | set(NeuSConfig.__dataclass_fields__))
+    unknown = sorted(set(kw) - known)
+    if unknown:
+        raise ValueError(
+            "neus_configs_for_scene: unknown override keys %s — valid "
+            "keys are the NeuSTrainConfig/NeuSConfig fields" % unknown)
     t_kw = {k: v for k, v in kw.items()
             if k in NeuSTrainConfig.__dataclass_fields__}
     m_kw = {k: v for k, v in kw.items()
             if k in NeuSConfig.__dataclass_fields__}
     tcfg = NeuSTrainConfig(**t_kw)
     cfg = NeuSConfig(**m_kw)
+    global _FAST_SAMPLER_NOTICED
+    if tcfg.occ_res > 0 and not _FAST_SAMPLER_NOTICED:
+        _FAST_SAMPLER_NOTICED = True
+        import sys
+        print(
+            "[vqnerf-tpu] stage-1 fast sampler default active "
+            "(occupancy-guided %d+%d samples, %d up-sample rounds, "
+            "occ_res=%d); reference-exact sampling: --geo-override "
+            "n_samples=64,n_importance=64,up_sample_steps=4,occ_res=0"
+            % (cfg.n_samples, cfg.n_importance, cfg.up_sample_steps,
+               tcfg.occ_res), file=sys.stderr)
     return cfg, tcfg, {"near": near, "far": far, "new_h": new_h,
                        "family": family}
 

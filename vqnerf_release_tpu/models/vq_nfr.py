@@ -246,9 +246,20 @@ def vq_nfr_loss(params, aux, cfg: dc.DecompConfig, mode="train"):
             pair_sl, pair_mask)
         loss = loss + loss_dict["chr_smooth"]
 
-    # Codebook anti-collapse: -log(min pairwise distance) (vq_nfr.py:959-972)
+    # Codebook anti-collapse: -log(min pairwise distance) (vq_nfr.py:959-972).
+    # The reference assigns the EMA codebook update DURING call (:580-583),
+    # so compute_loss's get_codebook() reads the UPDATED codebook — and the
+    # optimizer then applies the sim-loss gradient on top of that update.
+    # We mirror both: evaluate the sim term at aux['codebook_update'] while
+    # routing its gradient to the raw codebook leaf (value-shift trick; the
+    # TF variable-assign boundary likewise blocks grads into the EMA math).
     if cfg.sim_loss_weight > 0:
-        codebook = dc.get_codebook(params).T  # [K, D]
+        raw_cb = params["codebook"]
+        if "codebook_update" in aux:
+            raw_cb = raw_cb + jax.lax.stop_gradient(
+                aux["codebook_update"] - raw_cb)
+        cb = dc.clip_preserve_gradient(raw_cb, 0.0, 1.0)
+        codebook = dc.safe_l2_normalize(cb, axis=0).T  # [K, D]
         diff = codebook[:, None, :] - codebook[None, :, :]
         dist = jnp.sqrt(jnp.sum(jnp.square(diff), axis=-1) + 1e-12)
         k = cfg.num_embed

@@ -57,35 +57,55 @@ def build_occ_grid(sdf_params, sdf_cfg, radius, res=64, margin_factor=3.0):
         res, res, res)
 
 
-def ray_bin_occupancy(rays_o, rays_d, near, far, grid, radius, n_bins):
+def ray_bin_occupancy(rays_o, rays_d, near, far, grid, radius, n_bins,
+                      samples_per_bin=1):
     """Occupancy of n_bins uniform bins of [near, far] per ray: [R, B].
-    Bin midpoints outside the cube read 0 (no surface outside the
+
+    Each bin reads the MAX over `samples_per_bin` equispaced points
+    inside it (default 1 = the midpoint). A single midpoint can alias:
+    an occupied cell crossed between two midpoints is missed, so callers
+    that need a conservative certificate must choose
+    n_bins * samples_per_bin >= span / cell_size (see ray_occupied_span).
+    Sample points outside the cube read 0 (no surface outside the
     inside-sphere mask anyway)."""
     res = grid.shape[0]
-    t = (jnp.arange(n_bins, dtype=jnp.float32) + 0.5) / n_bins
-    z_mid = near + (far - near) * t[None, :]  # [R, B]
-    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_mid[..., None]
+    s = samples_per_bin
+    t = (jnp.arange(n_bins * s, dtype=jnp.float32) + 0.5) / (n_bins * s)
+    z = near + (far - near) * t[None, :]  # [R, B*S]
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
     idx_f = (pts / radius + 1.0) * 0.5 * res
     idx = jnp.clip(jnp.floor(idx_f).astype(jnp.int32), 0, res - 1)
-    vals = grid[idx[..., 0], idx[..., 1], idx[..., 2]]  # [R, B]
+    vals = grid[idx[..., 0], idx[..., 1], idx[..., 2]]  # [R, B*S]
     inside = jnp.all((idx_f >= 0) & (idx_f < res), axis=-1)
-    return vals * inside.astype(vals.dtype)
+    vals = vals * inside.astype(vals.dtype)
+    if s == 1:
+        return vals
+    return jnp.max(vals.reshape(vals.shape[0], n_bins, s), axis=-1)
 
 
 def ray_occupied_span(rays_o, rays_d, near, far, grid, radius,
-                      n_bins=32, pad_bins=1):
+                      n_bins=32, pad_bins=1, samples_per_bin=4):
     """Tighten each ray's [near, far] to the span of grid-occupied bins.
 
     With an Eikonal-trained SDF and a conservatively-margined grid
-    (build_occ_grid), a surface can only exist inside occupied cells —
-    so restricting the occlusion render to the occupied span (padded by
-    pad_bins on each side) cannot clip out an occluder, while packing
-    the render's fixed sample count into a far smaller interval. This is
-    what makes a REDUCED occlusion sampler safe for lvis: 16+16 samples
-    over a tightened span are denser than 64+64 over the full
-    sphere-exit span (the failure mode that disqualified sample
-    reduction alone — thin occluders stepped over — needs empty space to
-    hide in, and the tightened span has none).
+    (build_occ_grid, margin_factor >= 2 so occupancy is a band dilated
+    ~1 cell around the surface), a surface can only exist inside
+    occupied cells — so restricting the occlusion render to the occupied
+    span (padded by pad_bins on each side) cannot clip out an occluder,
+    while packing the render's fixed sample count into a far smaller
+    interval. This is what makes a REDUCED occlusion sampler safe for
+    lvis: 16+16 samples over a tightened span are denser than 64+64
+    over the full sphere-exit span (the failure mode that disqualified
+    sample reduction alone — thin occluders stepped over — needs empty
+    space to hide in, and the tightened span has none).
+
+    Conservativeness requires the sampling step along the ray to not
+    exceed the grid cell size, else an occupied cell can slip between
+    sample points: choose n_bins * samples_per_bin >= res * span /
+    (2 * radius). The defaults (32 bins x 4 = 128 points) cover the
+    worst-case full-chord span (2 * radius) at res <= 128; the dilated
+    occupancy band (>= 2.6 cells thick at margin_factor 3) adds further
+    slack.
 
     Returns (near', far', any_occupied[R, 1]); rays with no occupied
     bins keep their input span and carry any=0 (caller zeroes their
@@ -93,7 +113,7 @@ def ray_occupied_span(rays_o, rays_d, near, far, grid, radius,
     fast-vis).
     """
     occ = ray_bin_occupancy(rays_o, rays_d, near, far, grid, radius,
-                            n_bins)  # [R, B]
+                            n_bins, samples_per_bin=samples_per_bin)
     idx = jnp.arange(n_bins, dtype=jnp.float32)
     big = jnp.float32(n_bins)
     first = jnp.min(jnp.where(occ > 0, idx, big), axis=-1,

@@ -335,6 +335,13 @@ class GeoExtractor:
 
         if self.fast_vis:
             lvis_hit = self._lvis_fast(surf_fg, normal_fg)
+            st = self.last_fast_vis_stats
+            import sys
+            print("[gen-geo] %s: fast-vis certified %.1f%% of %d "
+                  "front-lit shadow rays" % (
+                      os.path.basename(view_dir),
+                      100.0 * st["certified_frac"],
+                      st["front_lit_rays"]), file=sys.stderr)
         else:
             lvis_hit = self._lvis_full(surf_fg, normal_fg)
 
@@ -393,6 +400,17 @@ class GeoExtractor:
         uncertain = (front > 0) & (min_sdf < margin)
         occu = np.zeros(n_fg * L, np.float32)
         u_idx = np.nonzero(uncertain.ravel())[0]
+
+        # Certification-rate observability: the coarse certificate trusts
+        # the Eikonal unit-gradient property, which an under-trained SDF
+        # can violate — a near-100% certified fraction on a scene with
+        # visible shadows is the red flag to look for in logs.
+        n_front = int(front.sum())
+        self.last_fast_vis_stats = {
+            "front_lit_rays": n_front,
+            "uncertain_rays": int(u_idx.shape[0]),
+            "certified_frac": 1.0 - u_idx.shape[0] / max(n_front, 1),
+        }
 
         lxyz_np = np.asarray(self.lxyz)
         chunk = bs * self.light_tile

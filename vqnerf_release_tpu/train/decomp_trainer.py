@@ -44,7 +44,10 @@ def _amsgrad(cfg: dc.DecompConfig = None):
             chain.append(optax.clip_by_global_norm(cfg.clipnorm))
         if cfg.clipvalue > 0:
             chain.append(optax.clip(cfg.clipvalue))
-    chain.append(optax.scale_by_amsgrad())
+    # eps 1e-7 = the keras Adam default the reference trains with
+    # (train_nfr.py:139, trainvali.py Adam(**kwargs)); optax's 1e-8
+    # default is a gratuitous divergence
+    chain.append(optax.scale_by_amsgrad(eps=1e-7))
     return optax.chain(*chain) if len(chain) > 1 else chain[0]
 
 
@@ -105,11 +108,14 @@ def make_nfr_unit_step(cfg: dc.DecompConfig, lxyz, lareas):
 
 
 def make_vq_nfr_step(cfg: dc.DecompConfig, lxyz, lareas):
-    """Step threading the VQ EMA state and applying the codebook EMA update
-    AFTER the gradient step (mirroring .assign at vq_nfr.py:580-583: the
-    codebook is 'trainable' in TF but its gradient path only matters via
-    get_codebook in the sim loss; the EMA assignment then overwrites the
-    raw variable — we therefore apply grads first, then assign)."""
+    """Step threading the VQ EMA state with the reference's assign-then-
+    optimize ordering (train_nfr.py:566-575 + vq_nfr.py:580-583): the EMA
+    update is assigned to the codebook DURING the forward, the sim loss is
+    evaluated at the UPDATED codebook (see vq_nfr_loss), and the optimizer
+    then applies the codebook's sim-loss gradient ON TOP of the EMA
+    update. All other losses reach the codebook only through straight-
+    through/stop-gradient paths, so its adam delta is purely the sim
+    term's."""
     tx = _amsgrad(cfg)
 
     def loss_fn(params, ema_state, batch, thres, rng):
@@ -127,16 +133,18 @@ def make_vq_nfr_step(cfg: dc.DecompConfig, lxyz, lareas):
         lr = decomp_lr(step, cfg)
         params, opt_state, ld = _guarded_update(
             cfg, tx, loss, grads, params, opt_state, lr, ld)
-        # EMA overwrite of the raw codebook (outside gradients)
+        # EMA assign + adam delta on top (reference order; delta is zero
+        # when the guard skipped the step)
+        delta_cb = params["codebook"] - old_params["codebook"]
         params = dict(params)
-        params["codebook"] = cb_update
+        params["codebook"] = cb_update + delta_cb
         if cfg.skip_nonfinite_updates:
             # a poisoned batch also contaminates the EMA statistics and
             # the codebook proposal — discard those too on skipped steps
             ok = _step_ok(loss, grads)
             new_ema = _select(ok, new_ema, old_ema)
             params["codebook"] = jnp.where(
-                ok, cb_update, old_params["codebook"])
+                ok, cb_update + delta_cb, old_params["codebook"])
         return params, new_ema, opt_state, ld
 
     return tx, step_fn

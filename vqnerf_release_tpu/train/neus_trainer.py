@@ -184,7 +184,23 @@ def make_neus_multi_step(cfg: NeuSConfig, tcfg: NeuSTrainConfig, radius,
         (params, opt_state), ms = jax.lax.scan(
             body, (params, opt_state),
             (jnp.arange(k, dtype=jnp.float32), batches))
-        last = jax.tree_util.tree_map(lambda x: x[-1], ms)
-        return params, opt_state, last
+        # Reduce across the K scan steps so every step is observable:
+        #  * nonfinite_grads: SUM — the loop's skip counter sees every
+        #    guarded step in the block, not just the last
+        #  * lr: last (schedule endpoint of the block)
+        #  * the rest: mean over FINITE steps — a guarded NaN step does
+        #    not poison the block's logged loss, while an all-nonfinite
+        #    block still reports NaN so the loop's divergence guard fires
+        def _reduce(name, x):
+            if name == "nonfinite_grads":
+                return jnp.sum(x)
+            if name == "lr":
+                return x[-1]
+            finite = jnp.isfinite(x)
+            n = jnp.sum(finite)
+            mean = jnp.sum(jnp.where(finite, x, 0.0)) / jnp.maximum(n, 1)
+            return jnp.where(n > 0, mean, x[-1])
+        out = {name: _reduce(name, x) for name, x in ms.items()}
+        return params, opt_state, out
 
     return multi_step
