@@ -1,0 +1,81 @@
+"""Stage-1 sampler-default guardrail over hostile geometries.
+
+Runs the equal-step stage-1 quality comparison (reference-exact 64+64 r4
+uniform sampler vs the occupancy-guided 16+16 r2 fast default,
+config.py:_GEO_FAST_SAMPLER) on four analytic scenes: the original smoke
+sphere plus the r2-VERDICT-#2 hostile cases — thin torus, thin plate,
+two disjoint blobs. The fast default ships only while it matches or
+beats the reference sampler on EVERY scene at equal steps; the table is
+recorded in BASELINE.md.
+
+Run on TPU:  python scripts/guardrail_scenes.py [--geo-iters 1500]
+Each cell trains stage 1 from scratch and reports the val-view PSNR.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+SMOKE = os.path.join(HERE, "smoke_e2e.py")
+
+SHAPES = ["sphere", "torus", "plate", "blobs"]
+CONFIGS = [
+    ("ref 64+64r4", ["--geo-sampler", "64+64r4"]),
+    ("occ 16+16r2", ["--geo-sampler", "16+16r2", "--occ-res", "64"]),
+]
+
+
+def run_cell(shape, extra, root, geo_iters, imh):
+    out = subprocess.run(
+        [sys.executable, SMOKE, "--root", root, "--shape", shape,
+         "--stage1-only", "--geo-iters", str(geo_iters),
+         "--imh", str(imh)] + extra,
+        capture_output=True, text=True)
+    if out.returncode != 0:
+        print(out.stdout[-2000:])
+        print(out.stderr[-2000:])
+        raise RuntimeError(f"guardrail cell failed: {shape} {extra}")
+    for line in out.stdout.splitlines():
+        if "val-view PSNR" in line:
+            return float(line.split("PSNR")[1].split("dB")[0])
+    raise RuntimeError(f"no PSNR line in output for {shape} {extra}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/vqnerf_guardrail")
+    ap.add_argument("--geo-iters", type=int, default=1500)
+    ap.add_argument("--imh", type=int, default=64)
+    ap.add_argument("--out-json", default=None)
+    args = ap.parse_args()
+
+    table = {}
+    for shape in SHAPES:
+        table[shape] = {}
+        for name, extra in CONFIGS:
+            root = os.path.join(args.root, shape,
+                                name.replace(" ", "_").replace("+", ""))
+            p = run_cell(shape, extra, root, args.geo_iters, args.imh)
+            table[shape][name] = p
+            print(f"{shape:8s} {name:12s} {p:6.2f} dB", flush=True)
+
+    print("\n| scene | " + " | ".join(n for n, _ in CONFIGS) + " | Δ |")
+    print("|---|" + "---|" * (len(CONFIGS) + 1))
+    worst = 0.0
+    for shape in SHAPES:
+        ref, fast = (table[shape][n] for n, _ in CONFIGS)
+        delta = fast - ref
+        worst = min(worst, delta)
+        print(f"| {shape} | {ref:.2f} | {fast:.2f} | {delta:+.2f} |")
+    print(f"\nworst delta: {worst:+.2f} dB "
+          f"({'OK — default holds' if worst > -0.3 else 'REGRESSION — retune the default'})")
+    if args.out_json:
+        with open(args.out_json, "w") as f:
+            json.dump(table, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

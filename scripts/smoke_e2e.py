@@ -38,9 +38,39 @@ def look_at_c2w(eye):
     return c2w
 
 
-def render_sphere_view(c2w, cam_angle_x, h, w, radius=0.5):
-    """Analytic lambertian sphere: albedo from surface position, light
-    from a fixed direction + ambient. Returns rgba float [h,w,4]."""
+def scene_sdf(shape, p):
+    """Analytic SDFs for the guardrail scenes (p [..., 3]).
+
+    'sphere' is the original smoke blob; the rest are the HOSTILE
+    geometries a single sphere cannot represent (r2 VERDICT #2): a thin
+    torus (thin occluder the reduced-occlusion ablation stepped over), a
+    thin plate, and two disjoint blobs (multi-body occupancy)."""
+    if shape == "sphere":
+        return np.linalg.norm(p, axis=-1) - 0.5
+    if shape == "torus":  # major 0.45, THIN minor 0.07
+        q = np.stack([np.hypot(p[..., 0], p[..., 2]) - 0.45,
+                      p[..., 1]], axis=-1)
+        return np.linalg.norm(q, axis=-1) - 0.07
+    if shape == "plate":  # thin horizontal slab + a small ball above it
+        half = np.array([0.45, 0.02, 0.45])
+        d = np.abs(p) - half
+        outside = np.linalg.norm(np.maximum(d, 0.0), axis=-1)
+        inside = np.minimum(np.max(d, axis=-1), 0.0)
+        slab = outside + inside
+        ball = np.linalg.norm(p - np.array([0.0, 0.28, 0.0]),
+                              axis=-1) - 0.18
+        return np.minimum(slab, ball)
+    if shape == "blobs":  # two disjoint spheres
+        a = np.linalg.norm(p - np.array([0.3, 0.0, 0.12]), axis=-1) - 0.22
+        b = np.linalg.norm(p + np.array([0.3, 0.0, 0.12]), axis=-1) - 0.22
+        return np.minimum(a, b)
+    raise ValueError(shape)
+
+
+def render_sphere_view(c2w, cam_angle_x, h, w, shape="sphere"):
+    """Analytic lambertian render via SDF sphere tracing: albedo from
+    surface position, directional light + ambient. Returns rgba
+    [h,w,4]."""
     fl = 0.5 * w / np.tan(0.5 * cam_angle_x)
     xs, ys = np.meshgrid(np.arange(w, dtype=np.float64),
                          np.arange(h, dtype=np.float64))
@@ -50,13 +80,23 @@ def render_sphere_view(c2w, cam_angle_x, h, w, radius=0.5):
     rayd /= np.linalg.norm(rayd, axis=-1, keepdims=True)
     rayo = c2w[:3, 3]
 
-    b = 2 * np.einsum("hwk,k->hw", rayd, rayo)
-    c = np.dot(rayo, rayo) - radius**2
-    disc = b**2 - 4 * c
-    hit = disc > 0
-    t = np.where(hit, (-b - np.sqrt(np.maximum(disc, 0))) / 2, 0.0)
+    t = np.full(rayd.shape[:2], 1.0)
+    hit = np.zeros(rayd.shape[:2], bool)
+    for _ in range(192):
+        pts = rayo + t[..., None] * rayd
+        d = scene_sdf(shape, pts)
+        hit |= d < 1e-4
+        t = np.where(hit, t, t + np.clip(d, 1e-4, None) * 0.9)
+        t = np.minimum(t, 4.0)
     pts = rayo + t[..., None] * rayd
-    normal = pts / radius
+    # finite-difference normals
+    eps = 1e-4
+    normal = np.stack([
+        scene_sdf(shape, pts + np.eye(3)[k] * eps)
+        - scene_sdf(shape, pts - np.eye(3)[k] * eps)
+        for k in range(3)], axis=-1)
+    normal /= np.maximum(np.linalg.norm(normal, axis=-1, keepdims=True),
+                         1e-12)
 
     # albedo: two materials by hemisphere + position tint
     albedo = np.where(pts[..., 0:1] > 0,
@@ -72,7 +112,8 @@ def render_sphere_view(c2w, cam_angle_x, h, w, radius=0.5):
     return rgba
 
 
-def make_scene(root, n_train=8, n_val=2, h=64, w=64, cam_angle_x=0.6):
+def make_scene(root, n_train=8, n_val=2, h=64, w=64, cam_angle_x=0.6,
+               shape="sphere"):
     import cv2
     for mode, n in (("train", n_train), ("val", n_val)):
         frames = []
@@ -83,7 +124,8 @@ def make_scene(root, n_train=8, n_val=2, h=64, w=64, cam_angle_x=0.6):
                    2.2 * math.cos(ang)]
             c2w = look_at_c2w(eye)
             frames.append({"transform_matrix": c2w.tolist()})
-            rgba = render_sphere_view(c2w, cam_angle_x, h, w)
+            rgba = render_sphere_view(c2w, cam_angle_x, h, w,
+                                      shape=shape)
             d = join(root, "%s_%03d" % (mode, i))
             os.makedirs(d, exist_ok=True)
             cv2.imwrite(join(d, "rgba.png"),
@@ -110,6 +152,13 @@ def main():
                     help="stage-1 sampling config 'N+MrK' (n_samples + "
                          "n_importance, K up-sample rounds) — guardrail "
                          "handle for the throughput configs")
+    ap.add_argument("--shape", default="sphere",
+                    choices=["sphere", "torus", "plate", "blobs"],
+                    help="guardrail scene geometry (torus/plate/blobs "
+                         "= thin/multi-body hostile cases)")
+    ap.add_argument("--stage1-only", action="store_true",
+                    help="train+validate stage 1 and exit (sampler "
+                         "guardrail runs)")
     ap.add_argument("--occ-res", type=int, default=0,
                     help="stage-1 occupancy-guided sampling grid "
                          "resolution (0 = reference uniform init)")
@@ -129,7 +178,8 @@ def main():
     scene_dir = join(root, "scene")
     os.makedirs(scene_dir, exist_ok=True)
     print("== generating synthetic scene")
-    make_scene(scene_dir, h=args.imh, w=args.imh)
+    make_scene(scene_dir, h=args.imh, w=args.imh,
+               shape=args.shape)
 
     # ---- stage 1
     t0 = time.time()
@@ -158,6 +208,9 @@ def main():
                     (gt * 255).astype(np.uint8))
     print(f"== stage-1 done in {time.time()-t0:.0f}s, "
           f"val-view PSNR {geo_psnr:.2f} dB")
+    if args.stage1_only:
+        print("== STAGE1-ONLY OK")
+        return {"geo_psnr": geo_psnr}
 
     print("== extracting geometry buffers (incl. lvis)")
     t0 = time.time()

@@ -132,21 +132,30 @@ def main():
               f"frac < 0.99: {(v < 0.99).mean():.6f})")
 
     if args.vis_sampler:
-        # reduced occlusion sampler vs the parity full path, with and
-        # without occupancy-guided initial samples
-        for occ_vis in (False, True):
+        # reduced occlusion sampler vs the parity full path: plain,
+        # occupancy-PDF-guided samples (+occ), span-tightened [near,far]
+        # (+span), both, and span composed with the fast-vis two-pass
+        for occ_vis, span_vis, fast in ((False, False, False),
+                                        (True, False, False),
+                                        (False, True, False),
+                                        (True, True, False),
+                                        (False, True, True)):
             ex2 = GeoExtractor(runner.params, cfg, ds,
                                join(args.root, "surf2"),
                                use_white_bkgd=True, batch_size=4096,
                                light_h=args.light_h, vis_point_batch=64,
                                vis_sampler=args.vis_sampler,
-                               occ_vis=occ_vis)
-            _ = ex2._lvis_full(surf_fg[:64], normal_fg[:64])  # warm
+                               occ_vis=occ_vis, span_vis=span_vis,
+                               fast_vis=fast,
+                               fast_vis_factor=args.factor)
+            fn = ex2._lvis_fast if fast else ex2._lvis_full
+            _ = fn(surf_fg[:64], normal_fg[:64])  # warm
             t0 = time.time()
-            lv_red = ex2._lvis_full(surf_fg, normal_fg)
+            lv_red = fn(surf_fg, normal_fg)
             t_red = time.time() - t0
             d2 = np.abs(lv_full - lv_red)
-            label = args.vis_sampler + (" +occ" if occ_vis else "")
+            label = args.vis_sampler + ("+occ" if occ_vis else "") \
+                + ("+span" if span_vis else "") + ("+fast" if fast else "")
             print(f"vis-sampler {label} vs parity: "
                   f"max |dlvis| {d2.max():.4f}, mean {d2.mean():.6f}, "
                   f"frac > 0.01: {(d2 > 0.01).mean():.5f}, "

@@ -73,3 +73,41 @@ def test_cli_full_workflow(tmp_path):
         outroot, "pd_vq", "batch000000000", "embed_map.png"))
     assert os.path.exists(join(
         outroot, "raw_test", "batch000000000", "pred_rgb.png"))
+
+    # geo-video: stage-1 trajectory extraction (reference gen_video.py)
+    frames = []
+    for i in range(2):
+        ang = 0.3 + 0.2 * i
+        c2w = np.eye(4)
+        c2w[:3, 3] = [2.0 * np.sin(ang), 0.3, 2.0 * np.cos(ang)]
+        fwd = -c2w[:3, 3] / np.linalg.norm(c2w[:3, 3])
+        right = np.cross([0.0, 1.0, 0.0], -fwd)
+        right /= np.linalg.norm(right)
+        up = np.cross(-fwd, right)
+        c2w[:3, 0], c2w[:3, 1], c2w[:3, 2] = right, up, -fwd
+        frames.append({"transform_matrix": c2w.tolist()})
+    with open(join(data_root, "transforms_test.json"), "w") as f:
+        json.dump({"camera_angle_x": 0.8, "frames": frames}, f)
+    main(["geo-video", scene, "--data-root", data_root,
+          "--output-root", out_root, "--no-vis", "--n-samples", "8"])
+    video_root = join(surf, "video")
+    assert os.path.exists(join(video_root, "test_000", "xyz.npy"))
+    meta = json.load(open(join(video_root, "test_000", "metadata.json")))
+    assert "focal" in meta and len(meta["cam_transform_mat"]) == 4
+
+    # gen-video --mode edit: edit workspace -> edited trajectory render
+    edit_root = str(tmp_path / "edited")
+    os.makedirs(edit_root)
+    with open(join(edit_root, "dst.json"), "w") as f:
+        json.dump({"diff": [0.8, 0.1, 0.1], "spec": [-1.0, 0.0, 0.0],
+                   "rough": [0.3]}, f)
+    emask = np.zeros((12, 12, 3), np.float32)
+    emask[4:8, 4:8] = 1.0
+    for i in range(2):
+        np.save(join(edit_root, "test_%03d.npy" % i), emask)
+    main(["gen-video", scene, "--data-root", data_root,
+          "--output-root", out_root, "--video-root", video_root,
+          "--mode", "edit", "--edit-root", edit_root,
+          "--preset-override", small])
+    edit_out = join(ref_out, "vis_video", "edit")
+    assert os.path.exists(join(edit_out, "batch000000000", "pred_rgb.png"))

@@ -180,18 +180,22 @@ def test_extraction_sharded_over_mesh(tmp_path):
 
     ex1 = GeoExtractor(params, cfg, ds, str(tmp_path / "s1"),
                        batch_size=48, light_h=LIGHT_H, vis_point_batch=16)
-    ex1.extract_views(is_train=True, no_vis=True)
+    ex1.extract_views(is_train=True, no_vis=False)
 
     mesh = get_mesh()
     assert mesh.devices.size == 8
     ex8 = GeoExtractor(params, cfg, ds, str(tmp_path / "s8"),
                        batch_size=48, light_h=LIGHT_H,
                        vis_point_batch=16, mesh=mesh)
-    ex8.extract_views(is_train=True, no_vis=True)
+    ex8.extract_views(is_train=True, no_vis=False)
 
-    a = np.load(os.path.join(str(tmp_path / "s1"), "train_000", "xyz.npy"))
-    b = np.load(os.path.join(str(tmp_path / "s8"), "train_000", "xyz.npy"))
-    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+    # full-view equality incl. the lvis pass (r2 VERDICT #7: extraction
+    # correctness under the mesh, beyond the render liveness check)
+    for name in ("xyz.npy", "normal.npy", "lvis.npy"):
+        a = np.load(os.path.join(str(tmp_path / "s1"), "train_000", name))
+        b = np.load(os.path.join(str(tmp_path / "s8"), "train_000", name))
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5,
+                                   err_msg=name)
 
 
 def test_cli_gen_geo_wires_mesh_and_pallas(tmp_path, monkeypatch):

@@ -302,3 +302,45 @@ def test_occ_guided_occlusion_matches(extracted=None, tmp_path=None):
     lv_red_occ = mk(vis_sampler="8+8r1", occ_vis=True,
                     occ_vis_res=32)._lvis_full(surf, normal)
     assert np.abs(lv_ref - lv_red_occ).mean() < 0.02
+
+
+def test_span_vis_occlusion_matches():
+    """GeoExtractor(span_vis=True) — occlusion over the grid-tightened
+    [near, far] span — matches the full-span occlusion on the
+    geometric-init sphere SDF, and composes with a reduced sampler
+    (plumbing check; the production gate is validate_fastvis on a
+    trained scene)."""
+    import tempfile
+
+    from tests.test_gen_geo import _make_stage1_scene
+    from vqnerf_release_tpu.data.neus_dataset import NerfSceneDataset
+    from vqnerf_release_tpu.pipelines.gen_geo import GeoExtractor
+    root = tempfile.mkdtemp()
+    _make_stage1_scene(root, n_train=1, n_val=1)
+    ds = NerfSceneDataset(root, is_train=True, near=0.5, far=3.5)
+    cfg = NeuSConfig(n_samples=16, n_importance=16, up_sample_steps=2,
+                     perturb=0.0)
+    params = init_neus(0, cfg)
+    mk = lambda **kw: GeoExtractor(params, cfg, ds, root, batch_size=64,
+                                   light_h=2, vis_point_batch=16, **kw)
+    rs = np.random.RandomState(1)
+    surf = (rs.rand(16, 3).astype(np.float32) - 0.5) * 0.5
+    normal = rs.randn(16, 3).astype(np.float32)
+    normal /= np.linalg.norm(normal, axis=1, keepdims=True)
+
+    lv_ref = mk()._lvis_full(surf, normal)
+    lv_span = mk(span_vis=True, occ_vis_res=32)._lvis_full(surf, normal)
+    # the span packs the SAME sample count into a shorter interval —
+    # sample positions shift, so soft-silhouette rays move a little
+    assert np.abs(lv_ref - lv_span).max() < 0.15
+    assert np.abs(lv_ref - lv_span).mean() < 0.01
+
+    # reduced sampler inside the tightened span stays near parity
+    lv_red = mk(vis_sampler="8+8r1", span_vis=True,
+                occ_vis_res=32)._lvis_full(surf, normal)
+    assert np.abs(lv_ref - lv_red).mean() < 0.02
+
+    # and the fast-vis two-pass path accepts span tightening
+    lv_fast = mk(fast_vis=True, span_vis=True,
+                 occ_vis_res=32)._lvis_fast(surf, normal)
+    assert np.abs(lv_ref - lv_fast).mean() < 0.01

@@ -264,3 +264,60 @@ def test_neus_train_step_sharded():
     assert np.isfinite(float(m["loss"]))
     np.testing.assert_allclose(float(m["loss"]), float(m_ref["loss"]),
                                rtol=1e-4)
+
+
+def test_vq_nfr_sharded_trajectory_matches_single_device():
+    """Multi-chip correctness (not just liveness): 3 chained vq_nfr
+    optimizer steps over the 8-device ray mesh reproduce the 1-device
+    param/EMA/codebook trajectory bit-for-bit up to reduction order
+    (r2 VERDICT #7)."""
+    lxyz, lareas = dc.light_constants(CFG)
+    nfr_params = init_nfr_unit(0, CFG)
+    centers = np.random.RandomState(0).rand(
+        CFG.num_embed, CFG.z_dim).astype(np.float32)
+    params0, ema0 = init_vq_nfr(0, CFG, nfr_params, centers)
+    tx, step_fn = make_vq_nfr_step(CFG, lxyz, lareas)
+    thres = jnp.asarray(CFG.train_thres())
+    batches = [
+        {k: np.asarray(v) for k, v in _decomp_batch(
+            CFG, n=64, seed=s).items()} for s in range(3)]
+
+    def run(sharded):
+        # fresh copies: step_fn donates params/ema/opt_state buffers
+        params = jax.tree_util.tree_map(jnp.array, params0)
+        ema = jax.tree_util.tree_map(jnp.array, ema0)
+        opt_state = tx.init(params)
+        if sharded:
+            mesh = get_mesh()
+            rep = replicate(mesh)
+            params = jax.device_put(params, rep)
+            opt_state = jax.device_put(opt_state, rep)
+        traj = []
+        for step, b in enumerate(batches):
+            if sharded:
+                batch, _ = shard_batch(dict(b), get_mesh())
+            else:
+                batch = {k: jnp.asarray(v) for k, v in b.items()}
+            params, ema, opt_state, _ = step_fn(
+                params, ema, opt_state, batch, thres,
+                jax.random.PRNGKey(step),
+                jnp.asarray(step, jnp.float32))
+            traj.append((jax.tree_util.tree_map(np.asarray, params),
+                         jax.tree_util.tree_map(np.asarray, ema)))
+        return traj
+
+    single = run(sharded=False)
+    multi = run(sharded=True)
+    for step, ((p1, e1), (p8, e8)) in enumerate(zip(single, multi)):
+        for (path, a), (_, b) in zip(
+                jax.tree_util.tree_flatten_with_path(p1)[0],
+                jax.tree_util.tree_flatten_with_path(p8)[0]):
+            np.testing.assert_allclose(
+                a, b, rtol=2e-4, atol=1e-5,
+                err_msg=f"step {step} {jax.tree_util.keystr(path)}")
+        np.testing.assert_allclose(
+            e1.hidden_cluster_size, e8.hidden_cluster_size, rtol=1e-4,
+            atol=1e-5, err_msg=f"step {step} ema cluster size")
+        np.testing.assert_allclose(
+            e1.hidden_dw, e8.hidden_dw, rtol=1e-4, atol=1e-5,
+            err_msg=f"step {step} ema dw")

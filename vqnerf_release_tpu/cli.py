@@ -173,9 +173,56 @@ def cmd_gen_geo(args):
                           use_pallas=getattr(args, "pallas", False),
                           mesh=mesh,
                           vis_sampler=getattr(args, "vis_sampler", None),
-                          occ_vis=getattr(args, "occ_vis", False))
+                          occ_vis=getattr(args, "occ_vis", False),
+                          span_vis=getattr(args, "span_vis", False))
         ex.extract_views(is_train=is_train, num_p=num_p,
                          p_i=p_i, no_vis=no_vis)
+
+
+def cmd_geo_video(args):
+    """Stage-1 trajectory geometry extraction (geo/NeuS-ours2
+    gen_video.py:120-180 and dtu_video.py): render the geometry buffers
+    for every frame of the scene's test trajectory into
+    surf/<family>_surf/<scene>/video/test_NNN/ (the tree `gen-video
+    --video-root` consumes)."""
+    from .data.neus_dataset import (DtuSceneDataset, DtuTrajectoryDataset,
+                                    NerfSceneDataset, TrajectoryDataset)
+    from .models.neus import init_neus
+    from .pipelines.gen_geo import GeoExtractor
+    from .pipelines.gen_video import extract_trajectory
+    from .utils import ckpt as ckpt_util
+
+    cfg, tcfg, meta = _geo_cfgs(args, extraction=True)
+    exp_dir = os.path.join(
+        args.output_root, "exp", args.scene, meta["family"])
+    params = init_neus(args.seed or 0, cfg)
+    latest = ckpt_util.latest_ckpt(exp_dir)
+    if latest:
+        from .train.neus_trainer import init_neus_opt_state
+        state = ckpt_util.load_ckpt(latest, {
+            "params": params,
+            "opt_state": init_neus_opt_state(params), "iter_step": 0})
+        params = state["params"]
+    if meta["family"] in ("dtu", "ours"):
+        train_ds = DtuSceneDataset(args.data_root, is_train=True,
+                                   new_h=meta["new_h"])
+        traj = DtuTrajectoryDataset(args.data_root, train_ds)
+    else:
+        train_ds = NerfSceneDataset(args.data_root, is_train=True,
+                                    near=meta["near"], far=meta["far"],
+                                    new_h=meta["new_h"])
+        traj = TrajectoryDataset(args.data_root, imh=train_ds.H,
+                                 imw=train_ds.W, near=meta["near"],
+                                 far=meta["far"])
+    out_root = os.path.join(vcfg.surf_dir(
+        os.path.join(args.output_root, "surf"), args.scene), "video")
+    no_vis = args.no_vis or args.scene not in vcfg.CG_SCENES
+    ex = GeoExtractor(params, cfg, traj, out_root,
+                      use_white_bkgd=tcfg.use_white_bkgd,
+                      fast_vis=not no_vis and not args.no_fast_vis,
+                      use_pallas=getattr(args, "pallas", False))
+    dirs = extract_trajectory(ex, traj, out_root, no_vis=no_vis)
+    print(f"geo-video: {len(dirs)} frames under {out_root}")
 
 
 def _apply_preset_overrides(cfg, override_str):
@@ -447,6 +494,7 @@ def cmd_gen_video(args):
     from .utils import ckpt as ckpt_util
 
     cfg, _ = vcfg.decomp_config_for_scene(args.scene)
+    cfg = _apply_preset_overrides(cfg, getattr(args, "preset_override", ""))
     vq_out = vcfg.train_outdir(args.output_root, args.scene, "vq_nfr")
     ref_out = vcfg.train_outdir(args.output_root, args.scene, "ref_nfr")
     ref_state = ckpt_util.load_ckpt(ckpt_util.latest_ckpt(ref_out))
@@ -460,12 +508,41 @@ def cmd_gen_video(args):
         probe_names, probes_np, olat_names, olats_np = load_novel_lights(
             args.test_envmap_dir, cfg.light_h, white_bg=cfg.white_bg)
         probes, olats = jnp.asarray(probes_np), jnp.asarray(olats_np)
+    edit_material = edit_masks = None
+    if args.mode == "edit":
+        # edit workspace layout (reference gen_video.py:218-256): the
+        # edit server's dst.json material + per-frame mask npys
+        import json as _json
+        edit_root = args.edit_root
+        if edit_root is None:
+            raise SystemExit("--mode edit requires --edit-root "
+                             "(the workspace holding dst.json + "
+                             "test_NNN.npy masks)")
+        with open(os.path.join(edit_root, "dst.json")) as f:
+            edit_material = _json.load(f)
+        edit_masks = []
+        for i in range(len(views)):
+            mp = os.path.join(edit_root, "test_%03d.npy" % i)
+            if not os.path.exists(mp):
+                raise SystemExit(f"--mode edit: missing mask {mp}")
+            edit_masks.append(
+                np.load(mp).reshape(-1, 3).astype(np.float32))
+        if args.dst_env and args.dst_env != "original" \
+                and probe_names is None:
+            raise SystemExit("--dst-env needs --test-envmap-dir")
+    opt_scale = None
+    if args.opt_scale:
+        import jax.numpy as jnp
+        opt_scale = jnp.asarray(
+            [float(x) for x in args.opt_scale.split(",")], jnp.float32)
     outroot = os.path.join(ref_out, "vis_video", args.mode)
     dirs = render_video(
         args.mode, cfg, views, outroot, ref_params=ref_state["params"],
         vq_params=vq_state["params"], n_vq=args.n_vq,
         novel_probes=probes, probe_names=probe_names,
-        novel_olat=olats, olat_names=olat_names)
+        novel_olat=olats, olat_names=olat_names, opt_scale=opt_scale,
+        edit_material=edit_material, edit_masks=edit_masks,
+        dst_env_name=args.dst_env)
     if args.mode in ("recon", "gen_comps"):
         compose_video(dirs, "pred_rgb.png",
                       os.path.join(outroot, "video.avi"), fps=args.fps)
@@ -545,6 +622,12 @@ def main(argv=None):
                         "from the SDF-occupancy PDF (multi-interval), "
                         "keeping reduced --vis-sampler configs dense "
                         "wherever the surface can be")
+    p.add_argument("--span-vis", action="store_true",
+                   help="tighten each shadow ray's [near,far] to its "
+                        "occupancy-grid span and zero rays crossing no "
+                        "occupied cell (the lever that makes a reduced "
+                        "--vis-sampler safe; validate with "
+                        "scripts/validate_fastvis.py)")
     p.add_argument("--fast-vis-factor", type=float, default=2.0,
                    help="safety factor on the coarse certification "
                         "margin (>= 1; higher = more conservative)")
@@ -641,11 +724,33 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("--video-root", required=True)
     p.add_argument("--mode", default="gen_comps",
-                   choices=["recon", "relight", "vq_dcomps", "gen_comps"])
+                   choices=["recon", "relight", "edit", "vq_dcomps",
+                            "gen_comps"])
     p.add_argument("--n-vq", type=int, default=None)
     p.add_argument("--fps", type=int, default=24)
     p.add_argument("--test-envmap-dir", default=None)
+    p.add_argument("--edit-root", default=None,
+                   help="edit workspace with dst.json + test_NNN.npy "
+                        "masks (required for --mode edit)")
+    p.add_argument("--dst-env", default=None,
+                   help="envmap name to relight the edit under "
+                        "('original' = trained light)")
+    p.add_argument("--opt-scale", default=None,
+                   help="r,g,b albedo scale (test driver's "
+                        "compute_rgb_scales output)")
+    p.add_argument("--preset-override", default="")
     p.set_defaults(fn=cmd_gen_video)
+
+    p = sub.add_parser("geo-video",
+                       help="stage-1 trajectory geometry extraction "
+                            "(geo gen_video.py / dtu_video.py)")
+    _add_common(p)
+    p.add_argument("--no-vis", action="store_true")
+    p.add_argument("--no-fast-vis", action="store_true")
+    p.add_argument("--geo-override", default="")
+    p.add_argument("--n-samples", type=int, default=0)
+    p.add_argument("--pallas", action="store_true")
+    p.set_defaults(fn=cmd_geo_video)
 
     p = sub.add_parser("metric-eval")
     p.add_argument("--family", required=True,

@@ -23,7 +23,8 @@ import numpy as np
 from . import io as vio
 from . import rays as vrays
 
-__all__ = ["NerfSceneDataset", "DtuSceneDataset", "TrajectoryDataset"]
+__all__ = ["NerfSceneDataset", "DtuSceneDataset", "TrajectoryDataset",
+           "DtuTrajectoryDataset"]
 
 
 class _Base:
@@ -138,6 +139,8 @@ class DtuSceneDataset(_Base):
             self.poses.append(pose)
             self.intrinsics_inv.append(np.linalg.inv(intr))
         self.H, self.W = self.images.shape[1:3]
+        self.k = k  # resize factor, reused by DtuTrajectoryDataset
+        self.data_dir = data_dir
         self.max_radius = 1.0
 
     def _rays_at_pixels(self, img_idx, xs, ys):
@@ -203,9 +206,60 @@ class TrajectoryDataset(_Base):
             rays_o.shape[0], self.near_v, self.far_v)
 
     def frame_metadata(self, idx):
+        # reference video metadata form (geo gen_video.py:164-168:
+        # focal/cx/cy + nested-list c2w), plus our train-metadata keys so
+        # either consumer can read the frames
         return {
+            "focal": float(self.focal),
+            "cx": self.cx, "cy": self.cy,
             "imh": self.H, "imw": self.W,
             "cam_angle_x": self.cam_angle_x,
-            "cam_transform_mat": ",".join(
-                str(float(x)) for x in self.poses[idx].reshape(-1)),
+            "cam_transform_mat": self.poses[idx].tolist(),
         }
+
+
+class DtuTrajectoryDataset(_Base):
+    """DTU-convention video trajectory.
+
+    Parity target: geo/NeuS-ours2/models/dtuvideo.py:12-72 —
+    <data_dir>/test.json (falling back two levels up, :27-31) carries c2w
+    ``poses`` plus one shared ``intrinsic`` at the original capture
+    resolution; frame size and the resize factor k come from the scene's
+    train dataset (:32-44).
+    """
+
+    def __init__(self, data_dir, train_set, cameras_name="test.json"):
+        path = os.path.join(data_dir, cameras_name)
+        if not os.path.exists(path):
+            path = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(data_dir))),
+                cameras_name)
+        with open(path) as f:
+            cams = json.load(f)
+        self.H, self.W = train_set.H, train_set.W
+        intr = np.asarray(cams["intrinsic"], np.float64).reshape(4, 4)
+        intr[:2, :3] *= train_set.k
+        self.intrinsic = intr
+        self.intrinsic_inv = np.linalg.inv(intr)
+        self.poses = [np.asarray(p, np.float64).reshape(4, 4)
+                      for p in cams["poses"]]
+        self.n_images = len(self.poses)
+        self.max_radius = 1.0
+        self.masks = None  # no GT masks on a novel trajectory
+
+    def _rays_at_pixels(self, img_idx, xs, ys):
+        p = np.stack([xs, ys, np.ones_like(xs, np.float64)], axis=-1)
+        p = p @ self.intrinsic_inv[:3, :3].T
+        rayd = p / np.linalg.norm(p, axis=-1, keepdims=True)
+        c2w = self.poses[img_idx]
+        rayd = rayd @ c2w[:3, :3].T
+        rayo = np.broadcast_to(c2w[:3, 3], rayd.shape).copy()
+        return rayo, rayd
+
+    def near_far(self, rays_o, rays_d):
+        return vrays.near_far_sphere(rays_o, rays_d)
+
+    def frame_metadata(self, idx):
+        # dtu_video.py:159-162 format (k-scaled intrinsic + c2w lists)
+        return {"intrinsic": self.intrinsic.tolist(),
+                "cam_transform_mat": self.poses[idx].tolist()}

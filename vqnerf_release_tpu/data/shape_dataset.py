@@ -225,11 +225,39 @@ class VideoDataset(ShapeDataset):
                 out.append(mp)
         return out
 
+    def _gen_video_rays(self, metadata, buf_h, buf_w):
+        """Rays from the reference's VIDEO metadata forms
+        (geo gen_video.py:164-168 / dtu_video.py:159-162, consumed by
+        datasets/video_nfr.py:204-319): focal/cx/cy + c2w for nerf-style
+        trajectories, intrinsic + c2w for dtu. Frame size comes from the
+        buffers (video_nfr.py:219), rescaled to self.imh."""
+        cm = metadata["cam_transform_mat"]
+        c2w = np.asarray(
+            [float(x) for x in cm.split(",")] if isinstance(cm, str)
+            else cm, np.float64).reshape(4, 4)
+        k = self.imh / buf_h
+        imh, imw = self.imh, int(round(buf_w * k))
+        if "intrinsic" in metadata:
+            intr = np.asarray(metadata["intrinsic"], np.float64).copy()
+            intr = intr.reshape(4, 4)
+            intr[:2, :3] *= k
+            return vrays.video_dtu_rays(c2w, intr, imh, imw)
+        if "focal" in metadata:
+            cx = metadata.get("cx")
+            cy = metadata.get("cy")
+            return vrays.video_nerf_rays(
+                c2w, metadata["focal"] * k, imh, imw,
+                cx=None if cx is None else cx * k,
+                cy=None if cy is None else cy * k)
+        return self._gen_rays(metadata)  # train-metadata form
+
     def load_view(self, metadata_path) -> ShapeView:
         metadata = vio.read_json(metadata_path)
         vdir = dirname(metadata_path)
         vid = basename(vdir)
-        rayo, rayd = self._gen_rays(metadata)
+        buf_shape = np.load(join(vdir, "xyz.npy"), mmap_mode="r").shape
+        rayo, rayd = self._gen_video_rays(
+            metadata, buf_shape[0], buf_shape[1])
         imh, imw = rayo.shape[:2]
 
         xyz = np.load(join(vdir, "xyz.npy")).astype(np.float32)

@@ -177,12 +177,20 @@ def infer_decomp_config(path, phase="vq_nfr", data_type=None, **overrides):
     if phase == "ref_nfr":
         cfg_kw["z_dim"] = shape_of(
             r"(?:^|/)net_rgb_enc_layer0/_?kernel" + _SUFFIX)[1]
+        # ref_nfr's light is a plain tensor, not a Variable
+        # (ref_nfr.py:90), so real ref checkpoints carry no _light —
+        # callers must supply light_h (import_ref_nfr forwards the vq
+        # checkpoint's)
+        try:
+            cfg_kw["light_h"] = shape_of(r"(?:^|/)_light" + _SUFFIX)[0]
+        except KeyError:
+            pass
     else:
         cfg_kw["mlp_width"] = shape_of(
             r"(?:^|/)net_fine_enc_layer0/_?kernel" + _SUFFIX)[1]
         cfg_kw["z_dim"] = shape_of(
             r"(?:^|/)net_bottleneck_layer2/_?kernel" + _SUFFIX)[1]
-    cfg_kw["light_h"] = shape_of(r"(?:^|/)_light" + _SUFFIX)[0]
+        cfg_kw["light_h"] = shape_of(r"(?:^|/)_light" + _SUFFIX)[0]
     if phase == "vq_nfr":
         num_embed = shape_of(r"(?:^|/)_codebook" + _SUFFIX)[1]
         num_drop = min(dc.DecompConfig.num_drop, max(num_embed - 1, 0))

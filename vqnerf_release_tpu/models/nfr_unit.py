@@ -103,8 +103,11 @@ def nfr_unit_forward(params, batch, cfg: dc.DecompConfig, lxyz, lareas,
         rgb_s = render_equation(
             brdf_spec, surf2l, normal_pred, lareas, light, light_vis=lvis,
             gamma=gamma)
-        pred["rgb_diff"] = (linear2srgb(rgb_d) if cfg.is_nerf else rgb_d) * m
-        pred["rgb_spec"] = (linear2srgb(rgb_s) if cfg.is_nerf else rgb_s) * m
+        # component renders stay LINEAR even for CG scenes — the reference
+        # never srgb-encodes rgb_diff/rgb_spec (vq_nfr.py:645-650 /
+        # ref_nfr.py:259-263; vis_batch writes them raw)
+        pred["rgb_diff"] = rgb_d * m
+        pred["rgb_spec"] = rgb_s * m
     return pred, aux
 
 

@@ -128,8 +128,11 @@ def ref_nfr_forward(params, batch, cfg: dc.DecompConfig, lxyz, lareas,
         rgb_s = render_equation(
             brdf_spec, surf2l, normal_pred, lareas, light, light_vis=lvis,
             gamma=gamma)
-        pred["rgb_diff"] = (linear2srgb(rgb_d) if cfg.is_nerf else rgb_d) * m
-        pred["rgb_spec"] = (linear2srgb(rgb_s) if cfg.is_nerf else rgb_s) * m
+        # component renders stay LINEAR even for CG scenes — the reference
+        # never srgb-encodes rgb_diff/rgb_spec (vq_nfr.py:645-650 /
+        # ref_nfr.py:259-263; vis_batch writes them raw)
+        pred["rgb_diff"] = rgb_d * m
+        pred["rgb_spec"] = rgb_s * m
     if novel_probes is not None:
         rgb_probes = render_equation(
             brdf, surf2l, normal_pred, lareas, novel_probes, light_vis=lvis,

@@ -168,8 +168,11 @@ def vq_nfr_forward(params, ema_state, batch, cfg: dc.DecompConfig, lxyz,
         rgb_s = render_equation(
             brdf_spec, surf2l, normal_pred, lareas, light, light_vis=lvis,
             gamma=gamma)
-        pred["rgb_diff"] = (linear2srgb(rgb_d) if cfg.is_nerf else rgb_d) * m
-        pred["rgb_spec"] = (linear2srgb(rgb_s) if cfg.is_nerf else rgb_s) * m
+        # component renders stay LINEAR even for CG scenes — the reference
+        # never srgb-encodes rgb_diff/rgb_spec (vq_nfr.py:645-650 /
+        # ref_nfr.py:259-263; vis_batch writes them raw)
+        pred["rgb_diff"] = rgb_d * m
+        pred["rgb_spec"] = rgb_s * m
         pred["vq_rgb"] = (linear2srgb(vq_rgb) if cfg.is_nerf else vq_rgb) * m
         pred["vq_albedo"] = vq_albedo * m
         pred["vq_spec"] = vq_spec * m

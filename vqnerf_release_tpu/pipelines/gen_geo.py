@@ -66,7 +66,8 @@ class GeoExtractor:
                  light_tile=None, use_pallas=False, mesh=None,
                  fast_vis=False, fast_vis_factor=2.0, n_coarse=16,
                  vis_sampler=None, occ_vis=False,
-                 occ_vis_res=64, occ_vis_margin=2.0):
+                 occ_vis_res=64, occ_vis_margin=2.0,
+                 span_vis=False, span_bins=32, span_pad=1):
         self.mesh = mesh
         if mesh is not None:
             # replicate params, shard ray batches over the mesh
@@ -106,15 +107,34 @@ class GeoExtractor:
         # so every occupied band along the ray gets samples), which is
         # what keeps a reduced vis_sampler exact; the uniform floor is
         # the safety net for anything the grid missed
+        # span_vis: tighten each shadow ray's [near, far] to its
+        # grid-occupied span (ops/occupancy.ray_occupied_span) and zero
+        # rays crossing no occupied cell — packs the occlusion render's
+        # fixed sample budget into the band where the surface can be,
+        # which is what makes a REDUCED vis_sampler dense where it
+        # matters. Composes with fast_vis (span applies to the
+        # uncertain-ray renders) and occ_vis (PDF-guided samples within
+        # the tightened span).
         self.occ_vis = occ_vis
+        self.span_vis = span_vis
         vis_grid = None
-        if occ_vis:
+        if occ_vis or span_vis:
             from ..ops.occupancy import build_occ_grid
             vis_grid = build_occ_grid(
                 self.params["sdf"], cfg.sdf,
                 radius=float(dataset.max_radius),
                 res=occ_vis_res, margin_factor=occ_vis_margin)
         self._vis_grid = vis_grid
+        if span_vis:
+            from ..ops.occupancy import ray_occupied_span
+
+            def _span(o, d, near, far):
+                return ray_occupied_span(
+                    o, d, near, far, vis_grid, self.radius,
+                    n_bins=span_bins, pad_bins=span_pad)
+        else:
+            _span = None
+        occ_sample_grid = vis_grid if occ_vis else None
         lxyz, _ = gen_light_xyz(light_h, 2 * light_h)
         self.lxyz = jnp.asarray(lxyz.reshape(-1, 3), jnp.float32)
         self.n_lights = self.lxyz.shape[0]
@@ -176,10 +196,14 @@ class GeoExtractor:
                 far = intersect_sphere_far(o_rep, d_chunk, self.radius)
                 near = jnp.minimum(
                     jnp.full_like(far, 0.1), far / 2.0)
+                if _span is not None:
+                    near, far, any_occ = _span(o_rep, d_chunk, near, far)
                 occ = neus_occlusion(
                     params, vis_cfg, o_rep, d_chunk, near, far,
                     self.radius, cos_anneal_ratio=1.0,
-                    use_pallas=use_pallas, occ_grid=vis_grid)
+                    use_pallas=use_pallas, occ_grid=occ_sample_grid)
+                if _span is not None:
+                    occ = occ * any_occ.reshape(occ.shape)
                 return None, occ.reshape(b, tile)
 
             _, occ_tiles = jax.lax.scan(body, None, d_tiles)
@@ -243,10 +267,15 @@ class GeoExtractor:
             _vis_batch scan body)."""
             far = intersect_sphere_far(o, d, self.radius)
             near = jnp.minimum(jnp.full_like(far, 0.1), far / 2.0)
-            return neus_occlusion(
+            if _span is not None:
+                near, far, any_occ = _span(o, d, near, far)
+            occ = neus_occlusion(
                 params, vis_cfg, o, d, near, far, self.radius,
                 cos_anneal_ratio=1.0, use_pallas=use_pallas,
-                occ_grid=vis_grid)
+                occ_grid=occ_sample_grid)
+            if _span is not None:
+                occ = occ * any_occ.reshape(occ.shape)
+            return occ
 
         self._coarse_batch = _coarse_batch
         self._occ_chunk = _occ_chunk

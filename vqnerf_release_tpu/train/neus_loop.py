@@ -177,6 +177,8 @@ class NeuSRunner:
             if self.val_dataset is not None and \
                     crossed(self.tcfg.val_freq, k):
                 self.validate_image(0)
+            if crossed(self.tcfg.mesh_freq, k):
+                self.validate_mesh()
         return history
 
     # -- validation (nerf_runner.py:234-379, simplified outputs) -----------

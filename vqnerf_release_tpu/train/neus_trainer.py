@@ -39,6 +39,9 @@ class NeuSTrainConfig:
     use_white_bkgd: bool = True
     save_freq: int = 10_000
     val_freq: int = 2_500
+    # in-loop marching-cubes mesh dump every N iters
+    # (nerf_runner.py:168-170 val_mesh_freq=10000); 0 = off
+    mesh_freq: int = 10_000
     use_pallas: bool = False  # fused Pallas SDF for the up-sample chain
     # Occupancy-guided sampling (ops/occupancy.py): 0 = off (reference
     # semantics). When on, the initial n_samples draw from a coarse SDF
