@@ -115,6 +115,15 @@ def main():
                                         up_sample_steps=2)),
             ("occ 16+16 r2", NeuSConfig(n_samples=16, n_importance=16,
                                         up_sample_steps=2)),
+            # r3 candidates for the last 7% to the 10x north star
+            ("occ 24+16 r2", NeuSConfig(n_samples=24, n_importance=16,
+                                        up_sample_steps=2)),
+            ("occ 16+16 r1", NeuSConfig(n_samples=16, n_importance=16,
+                                        up_sample_steps=1)),
+            ("occ 16+8 r2", NeuSConfig(n_samples=16, n_importance=8,
+                                       up_sample_steps=2)),
+            ("occ 12+12 r2", NeuSConfig(n_samples=12, n_importance=12,
+                                        up_sample_steps=2)),
         ]
         for label, ncfg in occ_grid:
             time_config(f"{label} b{b}", ncfg, tcfg, b,

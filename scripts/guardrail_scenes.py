@@ -25,6 +25,8 @@ SHAPES = ["sphere", "torus", "plate", "blobs"]
 CONFIGS = [
     ("ref 64+64r4", ["--geo-sampler", "64+64r4"]),
     ("occ 16+16r2", ["--geo-sampler", "16+16r2", "--occ-res", "64"]),
+    # fallback candidate: more initial samples, still occupancy-guided
+    ("occ 32+16r2", ["--geo-sampler", "32+16r2", "--occ-res", "64"]),
 ]
 
 

@@ -273,7 +273,13 @@ def test_vq_nfr_full_forward_and_losses_golden():
     pair = w_chr * (1 - (z_vq[::2] * z_vq[1::2]).sum(-1))
     exp["chr_smooth"] = cfg.mat_sloss_weight * pair.mean()
 
-    cbt = cb.T
+    # sim loss evaluates at the EMA-UPDATED codebook (the reference
+    # assigns during call, then compute_loss re-reads get_codebook —
+    # vq_nfr.py:580-583, 959-963)
+    cb_up = np.clip(np.asarray(aux["codebook_update"]), 0, 1)
+    cb_up = cb_up / np.sqrt(
+        np.maximum((cb_up**2).sum(0, keepdims=True), 1e-6))
+    cbt = cb_up.T
     d2 = np.sqrt((((cbt[:, None] - cbt[None]) ** 2).sum(-1)) + 1e-12)
     eye = np.eye(cfg.num_embed)
     masked = d2 * (1 - eye) + eye * d2.max()

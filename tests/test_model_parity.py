@@ -226,10 +226,37 @@ def chain(tmp_path_factory):
 
     return SimpleNamespace(
         tf=tf, root=root, env_dir=env_dir, model_vq=model_vq,
+        model_nfr=model_nfr, nfr_root=nfr_root,
         vq_root=vq_root, vq_ckpt=vq_ckpt, vq_ini_path=vq_ini_path,
         batch_np=batch_np, jbatch=jbatch, fg=fg, cfg=cfg, params=params,
         ema=ema, lxyz=lxyz, lareas=lareas, snapshot=snapshot,
         restore=restore)
+
+
+def test_nfr_unit_loss_parity(chain):
+    """nfr_unit compute_loss (plain linear-space MSE, nfr_unit.py) on
+    shared imported weights — completes the three-model loss triple."""
+    import jax.numpy as jnp
+
+    from vqnerf_release_tpu.interop.tf_import import import_nfr_unit
+    from vqnerf_release_tpu.models.nfr_unit import (nfr_unit_forward,
+                                                    nfr_unit_loss)
+
+    tf = chain.tf
+    pred_ref, gt_ref, kw_ref, _ = chain.model_nfr(
+        _ref_tuple(tf, chain.batch_np), mode="train")
+    kw_ref["keep_batch"] = True
+    per_ray_ref, ld_ref = chain.model_nfr.compute_loss(pred_ref, gt_ref,
+                                                       **kw_ref)
+
+    params, cfg = import_nfr_unit(str(chain.nfr_root))
+    from vqnerf_release_tpu.models import decomp_common as dc
+    lxyz, lareas = dc.light_constants(cfg)
+    _, aux = nfr_unit_forward(params, chain.jbatch, cfg, lxyz, lareas,
+                              mode="train")
+    loss, _ = nfr_unit_loss(aux, cfg, mode="train")
+    _cmp(loss, float(tf.reduce_mean(ld_ref["rgb"])), "nfr_unit loss",
+         rtol=5e-4, atol=1e-6)
 
 
 def _cmp(ours, theirs, name, rtol=2e-4, atol=3e-5):

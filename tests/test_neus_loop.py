@@ -158,5 +158,14 @@ def test_multi_step_equals_single_steps():
                     jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-6)
-    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
-                               rtol=1e-5)
+    # multi-step metrics reduce across the block (finite-mean for loss,
+    # SUM for nonfinite_grads) — compare against the eager-step means
+    eager_losses = []
+    p, o = params, opt
+    for i in range(k):
+        p, o, m = step(p, o, batch, jax.random.fold_in(key, i),
+                       jnp.asarray(float(2 + i)))
+        eager_losses.append(float(m["loss"]))
+    np.testing.assert_allclose(
+        float(m2["loss"]), np.mean(eager_losses), rtol=1e-5)
+    assert float(m2["nonfinite_grads"]) == 0.0
