@@ -82,3 +82,70 @@ def test_trajectory_dataset_and_extraction(tmp_path):
         assert os.path.exists(os.path.join(d, "metadata.json"))
         meta = json.load(open(os.path.join(d, "metadata.json")))
         assert "cam_transform_mat" in meta
+
+
+def test_dtu_trajectory_extraction_and_video_rays(tmp_path):
+    """DTU-convention video path (dtuvideo.py / dtu_video.py parity):
+    test.json poses + shared intrinsic -> DtuTrajectoryDataset ->
+    extract_trajectory writes the reference metadata format ->
+    VideoDataset regenerates the SAME rays from that metadata."""
+    import json
+    import os
+
+    import numpy as np
+
+    from tests.test_dtu_pipeline import _make_dtu_scene
+    from vqnerf_release_tpu.data.neus_dataset import (DtuSceneDataset,
+                                                      DtuTrajectoryDataset)
+    from vqnerf_release_tpu.data.shape_dataset import VideoDataset
+    from vqnerf_release_tpu.models.neus import NeuSConfig, init_neus
+    from vqnerf_release_tpu.pipelines.gen_geo import GeoExtractor
+    from vqnerf_release_tpu.pipelines.gen_video import extract_trajectory
+
+    root = str(tmp_path / "scene")
+    os.makedirs(root)
+    _make_dtu_scene(root)
+    train_ds = DtuSceneDataset(root, is_train=True)
+
+    # trajectory: two c2w poses + the intrinsic (original resolution)
+    K = np.eye(4)
+    K[:3, :3] = np.array([[14.0, 0, 6.0], [0, 14.0, 6.0], [0, 0, 1.0]])
+    poses = []
+    for ang in (0.3, 0.7):
+        eye = np.array([2.0 * np.sin(ang), 0.4, 2.0 * np.cos(ang)])
+        fwd = -eye / np.linalg.norm(eye)
+        up = np.array([0.0, 1.0, 0.0])
+        right = np.cross(fwd, up)
+        right /= np.linalg.norm(right)
+        true_up = np.cross(fwd, right)
+        c2w = np.eye(4)
+        c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = (
+            right, true_up, fwd, eye)
+        poses.append(c2w.tolist())
+    with open(os.path.join(root, "test.json"), "w") as f:
+        json.dump({"poses": poses, "intrinsic": K.tolist()}, f)
+
+    traj = DtuTrajectoryDataset(root, train_ds)
+    assert traj.n_images == 2
+
+    cfg = NeuSConfig(n_samples=8, n_importance=8, up_sample_steps=1,
+                     perturb=0.0)
+    params = init_neus(0, cfg)
+    out_root = str(tmp_path / "video")
+    ex = GeoExtractor(params, cfg, traj, out_root, batch_size=64,
+                      light_h=2, use_white_bkgd=False)
+    dirs = extract_trajectory(ex, traj, out_root, no_vis=True)
+    assert len(dirs) == 2
+    meta = json.load(open(os.path.join(out_root, "test_000",
+                                       "metadata.json")))
+    assert "intrinsic" in meta  # dtu_video.py:159-162 format
+
+    vds = VideoDataset(out_root, data_type="dtu", imh=traj.H,
+                       white_bg=False, with_ref=True)
+    assert len(vds.files) == 2
+    view = vds.load_view(vds.files[0])
+    rayo_direct, rayd_direct = traj.gen_rays_at(0)
+    np.testing.assert_allclose(
+        view.rayo.reshape(traj.H, traj.W, 3), rayo_direct, atol=1e-5)
+    np.testing.assert_allclose(
+        view.rayd.reshape(traj.H, traj.W, 3), rayd_direct, atol=1e-5)
