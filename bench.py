@@ -7,7 +7,7 @@ Metrics (all at the reference's production shapes):
      config/vq_nfr.ini + scripts/train/vq_nerf.sh).
   2. geo_train_rays_per_sec — full NeuS training step (2560-ray batch,
      grad-of-grad Eikonal) at the production default sampler:
-     occupancy-guided 16+16 samples, 2 up-sample rounds (quality-guarded
+     occupancy-guided 32+16 samples, 2 up-sample rounds (quality-guarded
      by the e2e smoke; BASELINE.md r2).
      geo_train_parity_rays_per_sec — same step at the reference-exact
      sampler (64 uniform + 64 importance, 4 rounds; confs/nerf.conf).
@@ -216,7 +216,7 @@ def _bench_geo(metric_name, n_iters=10, **cfg_overrides):
 
 
 def bench_geo_train():
-    """Production training default: occupancy-guided 16+16 r2 (quality
+    """Production training default: occupancy-guided 32+16 r2 (quality
     guard: e2e smoke at equal steps BEATS the parity sampler; see
     BASELINE.md r2 rows)."""
     return _bench_geo("geo_train_rays_per_sec", n_iters=30)

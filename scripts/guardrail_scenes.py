@@ -64,16 +64,22 @@ def main():
             table[shape][name] = p
             print(f"{shape:8s} {name:12s} {p:6.2f} dB", flush=True)
 
-    print("\n| scene | " + " | ".join(n for n, _ in CONFIGS) + " | Δ |")
-    print("|---|" + "---|" * (len(CONFIGS) + 1))
-    worst = 0.0
+    names = [n for n, _ in CONFIGS]
+    print("\n| scene | " + " | ".join(names)
+          + " | worst Δ vs " + names[0] + " |")
+    print("|---|" + "---|" * (len(names) + 1))
+    worst = {n: 0.0 for n in names[1:]}
     for shape in SHAPES:
-        ref, fast = (table[shape][n] for n, _ in CONFIGS)
-        delta = fast - ref
-        worst = min(worst, delta)
-        print(f"| {shape} | {ref:.2f} | {fast:.2f} | {delta:+.2f} |")
-    print(f"\nworst delta: {worst:+.2f} dB "
-          f"({'OK — default holds' if worst > -0.3 else 'REGRESSION — retune the default'})")
+        vals = [table[shape][n] for n in names]
+        deltas = [v - vals[0] for v in vals[1:]]
+        for n, d in zip(names[1:], deltas):
+            worst[n] = min(worst[n], d)
+        print("| " + shape + " | "
+              + " | ".join(f"{v:.2f}" for v in vals)
+              + " | " + " / ".join(f"{d:+.2f}" for d in deltas) + " |")
+    for n, w in worst.items():
+        print(f"{n}: worst delta {w:+.2f} dB "
+              f"({'OK' if w > -0.3 else 'REGRESSION'})")
     if args.out_json:
         with open(args.out_json, "w") as f:
             json.dump(table, f, indent=1)

@@ -81,13 +81,18 @@ _FAMILY_GEO = {
 }
 
 # Default stage-1 TRAINING sampler for every family: occupancy-guided
-# 16+16 samples, 2 up-sample rounds — 76.4k rays/s vs 20.3k at the
-# reference's 64+64 r4 (3.8x), with BETTER per-step quality on the e2e
-# smoke guardrail (stage-1 val 21.94 vs 16.98 dB at equal steps; see
-# BASELINE.md r2 rows). Reference-exact sampling remains one override
-# away:  --geo-override n_samples=64,n_importance=64,up_sample_steps=4,
-# occ_res=0  (geo/NeuS-ours2/confs/nerf.conf:83-86 semantics).
-_GEO_FAST_SAMPLER = dict(n_samples=16, n_importance=16, up_sample_steps=2,
+# 32+16 samples, 2 up-sample rounds — 51.3k rays/s vs 20.2k at the
+# reference's 64+64 r4 (2.5x per step, 5.7x the reference-GPU estimate),
+# and the ONLY swept config that beats the reference sampler at equal
+# steps on EVERY r3 guardrail scene incl. the hostile thin/multi-body
+# geometries (sphere +5.9 dB, torus +4.4, plate +0.1, blobs +3.3;
+# scripts/guardrail_scenes.py, BASELINE.md r3). Faster tiers measured
+# but NOT default: occ 24+16 r2 62k (-0.35 dB on the thin plate),
+# occ 16+16 r2 77k (-1.2 dB there) — select via --geo-override.
+# Reference-exact sampling remains one override away:  --geo-override
+# n_samples=64,n_importance=64,up_sample_steps=4,occ_res=0
+# (geo/NeuS-ours2/confs/nerf.conf:83-86 semantics).
+_GEO_FAST_SAMPLER = dict(n_samples=32, n_importance=16, up_sample_steps=2,
                          occ_res=64)
 
 
