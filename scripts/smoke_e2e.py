@@ -162,6 +162,9 @@ def main():
     ap.add_argument("--occ-res", type=int, default=0,
                     help="stage-1 occupancy-guided sampling grid "
                          "resolution (0 = reference uniform init)")
+    ap.add_argument("--occ-floor", type=float, default=0.05,
+                    help="uniform floor of the occupancy sampling PDF "
+                         "(guardrail tuning handle)")
     args = ap.parse_args()
 
     from vqnerf_release_tpu.data.neus_dataset import NerfSceneDataset
@@ -199,7 +202,9 @@ def main():
                            warm_up_end=max(args.geo_iters // 10, 1),
                            batch_size=1024, save_freq=10**9,
                            val_freq=10**9, use_white_bkgd=True,
-                           occ_res=args.occ_res, steps_per_dispatch=8)
+                           occ_res=args.occ_res,
+                           occ_floor=args.occ_floor,
+                           steps_per_dispatch=8)
     runner = NeuSRunner(cfg1, tcfg, ds, join(root, "exp"), seed=0)
     runner.train(log_every=max(args.geo_iters // 8, 1))
     img, wsum = runner.validate_image(0)
