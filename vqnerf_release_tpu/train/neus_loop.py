@@ -156,8 +156,10 @@ class NeuSRunner:
                     *step_args)
             self.iter_step += k
             if log_every and crossed(log_every, k):
-                history.append(
-                    {k: float(v) for k, v in metrics.items()})
+                from .loop import _sync_scalar_dicts
+                # one host transfer for the whole metrics dict (a float()
+                # per scalar costs a tunnel round-trip each)
+                history.append(_sync_scalar_dicts([metrics])[0])
                 # a NaN loss WITH the skip marker means the step guard
                 # dropped a poisoned batch and params are intact — only
                 # an unguarded non-finite loss is a real divergence
