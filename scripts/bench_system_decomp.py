@@ -1,0 +1,115 @@
+"""System-level decomp training throughput: the REAL train_vq_nfr loop
+(host sampling, batch staging, jitted steps, EMA codebook, epoch log
+sync) timed end-to-end at the production step shape, host-gather vs
+device-resident data paths.
+
+The compute bench (bench.py) times the bare step inside one lax.scan;
+this script answers the system question the r2 geo measurement answered
+for stage 1: does the full epoch loop — including the per-step
+host->device batch (~4.3 MB with a 512-light lvis, ~300 ms through the
+axon tunnel at 14 MB/s) — keep the chip busy? The device_views path
+(data/device_store.py) stages views once and ships 8 KB of ray indices
+per step instead.
+
+Run on TPU:  python scripts/bench_system_decomp.py
+"""
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+from os.path import join
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def synth_views(n_views, imh, n_lights, seed=0):
+    """Production-shaped ShapeViews with random but well-conditioned
+    content (throughput does not depend on the pixel values)."""
+    from vqnerf_release_tpu.data.shape_dataset import ShapeView
+    views = []
+    for v in range(n_views):
+        rs = np.random.RandomState(seed + v)
+        n = imh * imh
+        normal = rs.randn(n, 3).astype(np.float32)
+        normal /= np.linalg.norm(normal, axis=1, keepdims=True)
+        alpha = np.zeros((imh, imh), np.float32)
+        alpha[2:-2, 2:-2] = 1.0  # big interior fg region
+        views.append(ShapeView(
+            id="train_%03d" % v, h=imh, w=imh,
+            rayo=np.tile(np.array([[0, 0, 3.0]], np.float32), (n, 1)),
+            rayd=normal.copy(),
+            rgb=rs.rand(n, 3).astype(np.float32),
+            alpha=alpha.reshape(n, 1),
+            pred_alpha=alpha.reshape(n, 1).copy(),
+            xyz=(rs.rand(n, 3).astype(np.float32) - 0.5),
+            normal=normal,
+            lvis=rs.rand(n, n_lights).astype(np.float32),
+        ))
+    return views
+
+
+def run_mode(mode, views, args, root):
+    import dataclasses
+
+    from vqnerf_release_tpu.models import decomp_common as dc
+    from vqnerf_release_tpu.models.nfr_unit import init_nfr_unit
+    from vqnerf_release_tpu.train import loop
+
+    # production step shape (DecompConfig defaults: z 256, 15 codes,
+    # 512 lights, 1024 jitter pairs); epochs < 30 so cfg.epochs keeps
+    # the 30-epoch vali period out of the timed window
+    cfg = dc.DecompConfig(
+        light_h=args.light_h, imh=args.imh,
+        total_sample_vq=2000, device_views=mode)
+    nfr_params = init_nfr_unit(0, cfg)
+    out = join(root, mode)
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    loop.train_vq_nfr(cfg, nfr_params, views, [], out,
+                      epochs=args.epochs, resume=False)
+    total = time.time() - t0
+    logs = [json.loads(l) for l in open(join(out, "train_log.jsonl"))]
+    # epoch 1 pays compile + store staging; the last epoch pays the
+    # final ckpt+vq_test sweep — time the steady middle
+    steady = [l["wall_s"] for l in logs[1:-1]]
+    rays_per_epoch = 2 * cfg.n_rays_per_step * len(views)
+    rays_s = rays_per_epoch / float(np.mean(steady))
+    return {"mode": mode, "total_s": round(total, 1),
+            "steady_epoch_s": round(float(np.mean(steady)), 3),
+            "epoch_s_all": [l["wall_s"] for l in logs],
+            "rays_per_sec": round(rays_s, 1)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/bench_system_decomp")
+    ap.add_argument("--views", type=int, default=20)
+    ap.add_argument("--imh", type=int, default=256)
+    ap.add_argument("--light-h", type=int, default=16)
+    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--modes", default="off,on")
+    args = ap.parse_args()
+
+    cfg_lights = 2 * args.light_h * args.light_h
+    print(f"== {args.views} views @ {args.imh}^2, {cfg_lights} lights, "
+          f"2048 rays/step, {args.epochs} epochs/mode")
+    views = synth_views(args.views, args.imh, cfg_lights)
+    os.makedirs(args.root, exist_ok=True)
+    results = []
+    for mode in args.modes.split(","):
+        r = run_mode(mode, views, args, args.root)
+        results.append(r)
+        print(json.dumps(r))
+    if len(results) == 2:
+        print(f"== device-resident speedup: "
+              f"{results[0]['steady_epoch_s']/results[1]['steady_epoch_s']:.2f}x")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,122 @@
+"""Device-resident view store: device-gathered batches must equal the
+host-gathered outer_sample batches bit for bit (same rng), pad rows must
+behave as background under the 8-device mesh, and full training loops
+must produce identical trajectories with device_views on vs off."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from vqnerf_release_tpu.data.device_store import (
+    DeviceViewStore, fits_device_memory, store_nbytes)
+from vqnerf_release_tpu.data.sampler import outer_sample, sample_pix
+from vqnerf_release_tpu.data.shape_dataset import ShapeView
+from vqnerf_release_tpu.models import decomp_common as dc
+from vqnerf_release_tpu.parallel import get_mesh
+from vqnerf_release_tpu.train import loop
+
+CFG = dc.DecompConfig(light_h=2, num_embed=4, num_drop=2, z_dim=16,
+                      mlp_width=16, n_rays_per_step=20, epochs=2,
+                      thres_str="0.1;0.2", total_sample_vq=64,
+                      keep_recent_epochs=1)
+
+
+def _view(seed=0, h=10, w=12, with_lvis=True, with_ref=False):
+    rs = np.random.RandomState(seed)
+    n = h * w
+    normal = rs.randn(n, 3).astype(np.float32)
+    normal /= np.linalg.norm(normal, axis=1, keepdims=True)
+    alpha = (rs.rand(n, 1) > 0.25).astype(np.float32)
+    return ShapeView(
+        id="train_%03d" % seed, h=h, w=w,
+        rayo=np.tile(np.array([[0, 0, 3.0]], np.float32), (n, 1)),
+        rayd=rs.randn(n, 3).astype(np.float32),
+        rgb=rs.rand(n, 3).astype(np.float32),
+        alpha=alpha,
+        pred_alpha=alpha.copy(),
+        xyz=(rs.rand(n, 3).astype(np.float32) - 0.5),
+        normal=normal,
+        lvis=rs.rand(n, CFG.n_lights).astype(np.float32)
+        if with_lvis else None,
+        ref=rs.rand(n, 3).astype(np.float32) if with_ref else None,
+    )
+
+
+@pytest.mark.parametrize("with_lvis,with_ref",
+                         [(True, False), (False, True), (False, False)])
+def test_gather_matches_host_gather(with_lvis, with_ref):
+    views = [_view(s, with_lvis=with_lvis, with_ref=with_ref)
+             for s in range(3)]
+    store = DeviceViewStore(views)
+    for vi, view in enumerate(views):
+        pix = sample_pix(view, 16, np.random.RandomState(7 + vi))
+        host = outer_sample(view, 16, np.random.RandomState(7 + vi))
+        dev = store.gather(vi, pix)
+        assert set(dev) == set(host)
+        for k in host:
+            np.testing.assert_array_equal(np.asarray(dev[k]), host[k],
+                                          err_msg=k)
+
+
+def test_mesh_gather_pads_with_background():
+    views = [_view(s) for s in range(2)]
+    mesh = get_mesh()
+    assert mesh.devices.size == 8  # conftest virtual devices
+    store = DeviceViewStore(views, mesh=mesh)
+    pix = sample_pix(views[1], 9, np.random.RandomState(3))  # 18 % 8 != 0
+    host = outer_sample(views[1], 9, np.random.RandomState(3))
+    dev = store.gather(1, pix)
+    n = pix.shape[0]
+    for k in host:
+        got = np.asarray(dev[k])
+        assert got.shape[0] == 24  # padded to the device multiple
+        np.testing.assert_array_equal(got[:n], host[k], err_msg=k)
+    assert np.all(np.asarray(dev["alpha"])[n:] == 0)  # background rows
+
+
+def test_auto_policy_budget():
+    views = [_view(s) for s in range(2)]
+    assert store_nbytes(views) > 0
+    assert fits_device_memory(views, budget_bytes=1 << 30)
+    assert not fits_device_memory(views, budget_bytes=128)
+
+
+@pytest.mark.parametrize("trainer", ["nfr_unit", "vq_nfr", "ref_nfr"])
+def test_training_trajectory_identical(tmp_path, trainer, monkeypatch):
+    # pin the numpy sampler so 'on' and 'off' share the rng stream
+    monkeypatch.setenv("VQNERF_NATIVE_SAMPLER", "0")
+    views = [_view(s, with_ref=(trainer == "ref_nfr")) for s in range(2)]
+    vali = [_view(9, with_ref=(trainer == "ref_nfr"))]
+
+    def run(mode, sub):
+        cfg = dataclasses.replace(CFG, device_views=mode)
+        out = str(tmp_path / (trainer + "_" + sub))
+        if trainer == "nfr_unit":
+            params, hist = loop.train_nfr_unit(
+                cfg, views, vali, out, resume=False)
+        elif trainer == "vq_nfr":
+            nfr_params, _ = loop.train_nfr_unit(
+                cfg, views, vali, str(tmp_path / ("warm_" + sub)),
+                epochs=1, resume=False)
+            params, _, hist = loop.train_vq_nfr(
+                cfg, nfr_params, views, vali, out, resume=False)
+        else:
+            nfr_params, _ = loop.train_nfr_unit(
+                cfg, views, vali, str(tmp_path / ("warm_" + sub)),
+                epochs=1, resume=False)
+            vq_params, _, _ = loop.train_vq_nfr(
+                cfg, nfr_params, views, vali,
+                str(tmp_path / ("vq_" + sub)), epochs=1, resume=False)
+            light = np.asarray(dc.get_light(vq_params))
+            params, hist = loop.train_ref_nfr(
+                cfg, vq_params, light, views, vali, out, resume=False)
+        return params, hist
+
+    p_off, h_off = run("off", "off")
+    p_on, h_on = run("on", "on")
+    np.testing.assert_allclose(h_on, h_off, rtol=0, atol=0)
+    import jax
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)), p_on, p_off)

@@ -13,7 +13,7 @@ step; the gathered batch is what gets device_put.
 
 import numpy as np
 
-__all__ = ["outer_sample", "build_vq_eval_set"]
+__all__ = ["outer_sample", "sample_pix", "build_vq_eval_set"]
 
 _JITTERS = np.array(
     [[-1, -1], [-1, 0], [-1, 1], [0, -1], [0, 1], [1, -1], [1, 0], [1, 1]],
@@ -30,16 +30,21 @@ def _view_images(view):
     return {k: getattr(view, k).reshape(h, w, -1) for k in keys}
 
 
-def outer_sample(view, n_rays, rng, jitter_mode="random", alpha_thres=0.9):
-    """Sample n_rays (pixel, jitter) pairs -> batch dict of [2*n_rays, ...].
+def sample_pix(view, n_rays, rng, jitter_mode="random", alpha_thres=0.9):
+    """Sample n_rays (pixel, jitter) pairs -> [2*n_rays] flat pixel
+    indices (interleaved [p1, p1_jit, p2, p2_jit, ...]).
 
     jitter_mode: 'random' (train_nfr.py:415-417) or 'contrast'
     (trainvali.py:361 — neighbor with max channel-max |rgb delta|).
-    """
-    imgs = _view_images(view)
+
+    This is outer_sample's index-selection half, split out so the
+    device-resident path (data.device_store.DeviceViewStore) can gather
+    on device from the SAME indices: the rng consumption order is
+    identical to outer_sample's, so host-gathered and device-gathered
+    batches match bit for bit."""
     h, w = view.h, view.w
-    alpha = imgs["alpha"][..., 0]
-    rgb = imgs["rgb"]
+    alpha = view.alpha.reshape(h, w, -1)[..., 0]
+    rgb = view.rgb.reshape(h, w, 3)
 
     ys, xs = np.meshgrid(
         np.arange(1, h - 1), np.arange(1, w - 1), indexing="ij")
@@ -69,10 +74,19 @@ def outer_sample(view, n_rays, rng, jitter_mode="random", alpha_thres=0.9):
     pix = np.empty((2 * n_rays, 2), np.int64)
     pix[0::2] = coords[sel]
     pix[1::2] = coords_jitter[sel]
+    return pix[:, 0] * w + pix[:, 1]
 
+
+def outer_sample(view, n_rays, rng, jitter_mode="random", alpha_thres=0.9):
+    """Sample n_rays (pixel, jitter) pairs -> batch dict of [2*n_rays, ...]
+    (sample_pix indices host-gathered from the view buffers)."""
+    flat = sample_pix(view, n_rays, rng, jitter_mode=jitter_mode,
+                      alpha_thres=alpha_thres)
+    imgs = _view_images(view)
+    h, w = view.h, view.w
     batch = {}
     for k, img in imgs.items():
-        batch[k] = img[pix[:, 0], pix[:, 1]].astype(np.float32)
+        batch[k] = img.reshape(h * w, -1)[flat].astype(np.float32)
     return batch
 
 

@@ -94,6 +94,13 @@ class DecompConfig:
     # interpret-mode kernel is far slower than the jnp path on CPU).
     # Force with --preset-override use_fused_render=True/False.
     use_fused_render: Optional[bool] = None
+    # Training data path: 'auto' stages all train views on device once
+    # and ships only host-sampled ray indices per step (8 KB instead of
+    # the ~4.3 MB gathered batch; see data/device_store.py) when the
+    # views fit the device-memory budget, falling back to the
+    # host-gather + prefetch path otherwise. 'on' forces staging, 'off'
+    # forces the host path. Batches are bit-identical either way.
+    device_views: str = "auto"
 
     @property
     def light_res(self) -> Tuple[int, int]:

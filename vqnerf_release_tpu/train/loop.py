@@ -17,6 +17,7 @@ reproduced bit-for-bit — SURVEY.md §7 'Numerical parity').
 
 import json
 import os
+import time
 from os.path import join
 
 import jax
@@ -25,6 +26,7 @@ import numpy as np
 
 from ..data.sampler import build_vq_eval_set
 from ..data.sampler import outer_sample as _outer_sample_np
+from ..data.sampler import sample_pix as _sample_pix_np
 from ..models import decomp_common as dc
 from ..models.nfr_unit import nfr_unit_forward, nfr_unit_loss
 from ..models.ref_nfr import ref_nfr_forward, ref_nfr_loss
@@ -60,6 +62,66 @@ def outer_sample(view, n_rays, rng, jitter_mode="random", alpha_thres=0.9):
                 "built (make -C native/fastloader)")
     return _outer_sample_np(view, n_rays, rng, jitter_mode=jitter_mode,
                             alpha_thres=alpha_thres)
+
+
+def sample_view_pix(view, n_rays, rng, jitter_mode="random",
+                    alpha_thres=0.9):
+    """Index-only counterpart of outer_sample for the device-resident
+    gather path: same native/numpy dispatch, same rng/seed consumption,
+    so batches match the host path bit for bit."""
+    mode = os.environ.get("VQNERF_NATIVE_SAMPLER", "auto")
+    if mode != "0":
+        from ..data import native as _native
+        if _native.native_available():
+            coords = _native.select_pairs(
+                view.alpha.reshape(view.h, view.w),
+                view.rgb.reshape(view.h, view.w, 3), n_rays,
+                jitter_mode=jitter_mode, alpha_thres=alpha_thres,
+                seed=int(rng.randint(0, 2**31 - 1)))
+            return coords[:, 0] * view.w + coords[:, 1]
+        if mode == "1":
+            raise RuntimeError(
+                "VQNERF_NATIVE_SAMPLER=1 but native/fastloader is not "
+                "built (make -C native/fastloader)")
+    return _sample_pix_np(view, n_rays, rng, jitter_mode=jitter_mode,
+                          alpha_thres=alpha_thres)
+
+
+def _make_batch_source(train_views, cfg, jitter_mode):
+    """Per-epoch training batch generator factory.
+
+    Resolves cfg.device_views ('auto'/'on'/'off'): when the views fit
+    the device-memory budget they are staged once on device and each
+    step ships only sample_view_pix indices (data/device_store.py);
+    otherwise every batch is host-gathered and device_put (the
+    reference's tf.data streaming model, trainvali.py:108-122). Either
+    way the returned callable yields identical prefetched batches."""
+    mode = getattr(cfg, "device_views", "off") or "off"
+    if mode not in ("auto", "on", "off"):
+        raise ValueError(
+            "device_views must be 'auto', 'on' or 'off', got %r" % mode)
+    store = None
+    if train_views and mode != "off":
+        from ..data.device_store import DeviceViewStore, fits_device_memory
+        if mode == "on" or fits_device_memory(train_views):
+            store = DeviceViewStore(train_views, mesh=_get_mesh())
+        else:
+            print("[vqnerf-tpu] device_views=auto: views exceed the "
+                  "device-memory budget; using the host-gather path")
+
+    def epoch_batches(rng):
+        if store is not None:
+            return _prefetch(
+                store.gather(vi, sample_view_pix(
+                    view, cfg.n_rays_per_step, rng,
+                    jitter_mode=jitter_mode))
+                for vi, view in enumerate(train_views))
+        return _prefetch(
+            _device_batch(outer_sample(
+                view, cfg.n_rays_per_step, rng, jitter_mode=jitter_mode))
+            for view in train_views)
+
+    return epoch_batches
 
 
 def _epoch_dir(outdir, epoch):
@@ -271,13 +333,11 @@ def train_nfr_unit(cfg: dc.DecompConfig, train_views, vali_views, outdir,
 
     step = start_epoch * max(len(train_views), 1)
     history = []
+    epoch_batches = _make_batch_source(train_views, cfg, jitter_mode)
     for epoch in range(start_epoch, epochs):
+        t_epoch = time.time()
         losses = []
-        batches = _prefetch(
-            _device_batch(outer_sample(
-                view, cfg.n_rays_per_step, rng, jitter_mode=jitter_mode))
-            for view in train_views)
-        for batch in batches:
+        for batch in epoch_batches(rng):
             params, opt_state, ld = step_fn(
                 params, opt_state, batch, jnp.asarray(step, jnp.float32))
             # keep losses on device: a float() here would serialize the
@@ -287,8 +347,12 @@ def train_nfr_unit(cfg: dc.DecompConfig, train_views, vali_views, outdir,
         mean_loss, n_skipped = _finite_mean(losses)
         history.append(mean_loss)
         e1 = epoch + 1
+        # wall_s closes over the scalar fetch above, so it covers the
+        # full epoch incl. device completion (the reference logs
+        # batch_time_train the same way, trainvali.py:253-255)
         _log_scalars(outdir, e1, {"loss_train": history[-1],
-                                  "skipped_steps": n_skipped})
+                                  "skipped_steps": n_skipped,
+                                  "wall_s": round(time.time() - t_epoch, 4)})
         _check_finite(outdir, "nfr_unit", e1, {"loss_train": history[-1]},
                       {"params": params, "opt_state": opt_state,
                        "epoch": e1})
@@ -387,13 +451,11 @@ def train_vq_nfr(cfg: dc.DecompConfig, nfr_params, train_views, vali_views,
 
     step = start_epoch * max(len(train_views), 1)
     history = []
+    epoch_batches = _make_batch_source(train_views, cfg, "random")
     for epoch in range(start_epoch, epochs):
+        t_epoch = time.time()
         loss_dicts = []
-        batches = _prefetch(
-            _device_batch(outer_sample(
-                view, cfg.n_rays_per_step, rng, jitter_mode="random"))
-            for view in train_views)
-        for batch in batches:
+        for batch in epoch_batches(rng):
             key, sub = jax.random.split(key)
             params, ema_state, opt_state, ld = step_fn(
                 params, ema_state, opt_state, batch, train_thres, sub,
@@ -409,7 +471,8 @@ def train_vq_nfr(cfg: dc.DecompConfig, nfr_params, train_views, vali_views,
         _log_scalars(outdir, e1, {
             **{k: _finite_mean([d[k] for d in loss_dicts])[0]
                for k in loss_dicts[0]},
-            "skipped_steps": n_skipped})
+            "skipped_steps": n_skipped,
+            "wall_s": round(time.time() - t_epoch, 4)})
         _check_finite(outdir, "vq_nfr", e1, {"loss": history[-1]},
                       {"params": params, "ema": ema_state,
                        "opt_state": opt_state, "epoch": e1})
@@ -526,13 +589,11 @@ def train_ref_nfr(cfg: dc.DecompConfig, vq_params, light, train_views,
 
     step = start_epoch * max(len(train_views), 1)
     history = []
+    epoch_batches = _make_batch_source(train_views, cfg, "contrast")
     for epoch in range(start_epoch, epochs):
+        t_epoch = time.time()
         losses = []
-        batches = _prefetch(
-            _device_batch(outer_sample(
-                view, cfg.n_rays_per_step, rng, jitter_mode="contrast"))
-            for view in train_views)
-        for batch in batches:
+        for batch in epoch_batches(rng):
             params, opt_state, ld = step_fn(
                 params, opt_state, batch, jnp.asarray(step, jnp.float32))
             losses.append(ld["loss"])  # device array; sync at epoch end
@@ -541,7 +602,8 @@ def train_ref_nfr(cfg: dc.DecompConfig, vq_params, light, train_views,
         history.append(mean_loss)
         e1 = epoch + 1
         _log_scalars(outdir, e1, {"loss_train": history[-1],
-                                  "skipped_steps": n_skipped})
+                                  "skipped_steps": n_skipped,
+                                  "wall_s": round(time.time() - t_epoch, 4)})
         _check_finite(outdir, "ref_nfr", e1, {"loss_train": history[-1]},
                       {"params": params, "opt_state": opt_state,
                        "epoch": e1})
