@@ -90,7 +90,9 @@ def test_training_trajectory_identical(tmp_path, trainer, monkeypatch):
     vali = [_view(9, with_ref=(trainer == "ref_nfr"))]
 
     def run(mode, sub):
-        cfg = dataclasses.replace(CFG, device_views=mode)
+        dv, scan = {"off": ("off", False), "on": ("on", False),
+                    "scan": ("on", True)}[mode]
+        cfg = dataclasses.replace(CFG, device_views=dv, epoch_scan=scan)
         out = str(tmp_path / (trainer + "_" + sub))
         if trainer == "nfr_unit":
             params, hist = loop.train_nfr_unit(
@@ -114,9 +116,12 @@ def test_training_trajectory_identical(tmp_path, trainer, monkeypatch):
         return params, hist
 
     p_off, h_off = run("off", "off")
-    p_on, h_on = run("on", "on")
-    np.testing.assert_allclose(h_on, h_off, rtol=0, atol=0)
     import jax
-    jax.tree_util.tree_map(
-        lambda a, b: np.testing.assert_array_equal(
-            np.asarray(a), np.asarray(b)), p_on, p_off)
+    # host per-step == store per-step == store epoch-scan (one dispatch)
+    for mode in ("on", "scan"):
+        p_m, h_m = run(mode, mode)
+        np.testing.assert_allclose(h_m, h_off, rtol=0, atol=0,
+                                   err_msg=mode)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)), p_m, p_off)

@@ -116,6 +116,12 @@ class DeviceViewStore:
             self._pix_sharding = None
             self._gather = jax.jit(self._gather_impl)
 
+    @property
+    def arrays(self):
+        """Device-resident {key: [V, HW+1, C]} dict (for the scanned
+        epoch runners, which gather inside lax.scan)."""
+        return self._arrays
+
     @staticmethod
     def _gather_impl(arrays, view_idx, pix):
         return {k: a[view_idx][pix] for k, a in arrays.items()}

@@ -101,6 +101,15 @@ class DecompConfig:
     # host-gather + prefetch path otherwise. 'on' forces staging, 'off'
     # forces the host path. Batches are bit-identical either way.
     device_views: str = "auto"
+    # With device-resident views, run each training epoch as ONE
+    # lax.scan dispatch (all K steps in a single XLA program, batches
+    # gathered on device from the store) instead of K python-dispatched
+    # steps — removes the per-dispatch latency that dominates the ~2 ms
+    # step through the axon tunnel. None = auto: on whenever the store
+    # is active. Ignored (with a notice) when the store is off. The
+    # scanned epoch inlines the SAME jitted step functions, and full
+    # training runs are asserted equal in tests/test_device_store.py.
+    epoch_scan: Optional[bool] = None
 
     @property
     def light_res(self) -> Tuple[int, int]:

@@ -24,7 +24,7 @@ from ..models.vq_nfr import vq_nfr_forward, vq_nfr_loss
 
 __all__ = [
     "decomp_lr", "make_nfr_unit_step", "make_vq_nfr_step",
-    "make_ref_nfr_step",
+    "make_ref_nfr_step", "make_plain_epoch_scan", "make_vq_epoch_scan",
 ]
 
 
@@ -171,3 +171,51 @@ def make_ref_nfr_step(cfg: dc.DecompConfig, lxyz, lareas):
                 opt_state, ld)
 
     return tx, step_fn
+
+
+def make_plain_epoch_scan(step_fn, donate=(0, 1)):
+    """Scan a whole epoch of nfr_unit/ref_nfr steps in ONE dispatch.
+
+    Batches are gathered inside the scan body from a device-resident
+    view store (data/device_store.py): per epoch the host ships only
+    [K, 2n] ray indices, and the K steps run as one XLA program — no
+    per-step python dispatch (which costs 3-10 ms each through the axon
+    tunnel and dominates the ~2 ms step). step_fn is the SAME jitted
+    step the per-step path uses; jit-of-jit inlines it, so the math is
+    identical by construction (equality asserted through full training
+    runs in tests/test_device_store.py)."""
+
+    @partial(jax.jit, donate_argnums=donate)
+    def run(params, opt_state, arrays, vi_vec, pix_mat, steps_vec):
+        def body(carry, x):
+            p, o = carry
+            vi, pix, stepf = x
+            batch = {k: a[vi][pix] for k, a in arrays.items()}
+            p, o, ld = step_fn(p, o, batch, stepf)
+            return (p, o), ld
+        (params, opt_state), lds = jax.lax.scan(
+            body, (params, opt_state), (vi_vec, pix_mat, steps_vec))
+        return params, opt_state, lds
+
+    return run
+
+
+def make_vq_epoch_scan(step_fn):
+    """Epoch scan for the vq_nfr step (threads EMA state and the
+    pre-split per-step rng keys; see make_plain_epoch_scan)."""
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def run(params, ema_state, opt_state, arrays, thres, vi_vec,
+            pix_mat, keys_vec, steps_vec):
+        def body(carry, x):
+            p, e, o = carry
+            vi, pix, key, stepf = x
+            batch = {k: a[vi][pix] for k, a in arrays.items()}
+            p, e, o, ld = step_fn(p, e, o, batch, thres, key, stepf)
+            return (p, e, o), ld
+        (params, ema_state, opt_state), lds = jax.lax.scan(
+            body, (params, ema_state, opt_state),
+            (vi_vec, pix_mat, keys_vec, steps_vec))
+        return params, ema_state, opt_state, lds
+
+    return run

@@ -95,7 +95,9 @@ def _make_batch_source(train_views, cfg, jitter_mode):
     step ships only sample_view_pix indices (data/device_store.py);
     otherwise every batch is host-gathered and device_put (the
     reference's tf.data streaming model, trainvali.py:108-122). Either
-    way the returned callable yields identical prefetched batches."""
+    way the returned callable yields identical prefetched batches.
+
+    Returns (epoch_batches, store); store is None on the host path."""
     mode = getattr(cfg, "device_views", "off") or "off"
     if mode not in ("auto", "on", "off"):
         raise ValueError(
@@ -121,7 +123,58 @@ def _make_batch_source(train_views, cfg, jitter_mode):
                 view, cfg.n_rays_per_step, rng, jitter_mode=jitter_mode))
             for view in train_views)
 
-    return epoch_batches
+    return epoch_batches, store
+
+
+def _resolve_epoch_scan(cfg, store):
+    """cfg.epoch_scan: None = auto (scan iff the store is active)."""
+    want = getattr(cfg, "epoch_scan", None)
+    if want is None:
+        return store is not None
+    if want and store is None:
+        print("[vqnerf-tpu] epoch_scan requested but device_views is "
+              "off/oversized; falling back to per-step dispatch")
+        return False
+    return bool(want)
+
+
+def _epoch_scan_xs(train_views, cfg, rng, jitter_mode, store, step0):
+    """Host-sample the WHOLE epoch's ray indices: (vi [K], pix [K, 2n],
+    steps [K]) staged for the scanned epoch (pix sharded over the ray
+    axis under a >1-device mesh, padded with the store's zero row)."""
+    pix = np.stack([
+        np.asarray(sample_view_pix(
+            v, cfg.n_rays_per_step, rng, jitter_mode=jitter_mode))
+        for v in train_views]).astype(np.int32)
+    mesh = _get_mesh()
+    n_dev = mesh.devices.size
+    if n_dev > 1 and pix.shape[1] % n_dev:
+        padn = n_dev - pix.shape[1] % n_dev
+        pix = np.concatenate(
+            [pix, np.full((pix.shape[0], padn), store.pad_index,
+                          np.int32)], axis=1)
+    k = len(train_views)
+    vi = jnp.asarray(np.arange(k, dtype=np.int32))
+    steps = jnp.asarray(step0 + np.arange(k, dtype=np.float32))
+    if n_dev > 1:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import RAY_AXIS
+        pix = jax.device_put(
+            jnp.asarray(pix), NamedSharding(mesh, P(None, RAY_AXIS)))
+    else:
+        pix = jnp.asarray(pix)
+    return vi, pix, steps
+
+
+def _unstack_lds(lds):
+    """Stacked scan outputs {name: [K]} -> per-step float dicts (one
+    host transfer per key)."""
+    mat = {k: np.asarray(v, np.float64) for k, v in lds.items()}
+    k0 = next(iter(mat))
+    return [{k: float(mat[k][i]) for k in mat}
+            for i in range(mat[k0].shape[0])]
 
 
 def _epoch_dir(outdir, epoch):
@@ -333,17 +386,35 @@ def train_nfr_unit(cfg: dc.DecompConfig, train_views, vali_views, outdir,
 
     step = start_epoch * max(len(train_views), 1)
     history = []
-    epoch_batches = _make_batch_source(train_views, cfg, jitter_mode)
+    epoch_batches, store = _make_batch_source(train_views, cfg,
+                                              jitter_mode)
+    run_epoch = (dt.make_plain_epoch_scan(step_fn)
+                 if _resolve_epoch_scan(cfg, store) else None)
+    pending_xs = None
     for epoch in range(start_epoch, epochs):
         t_epoch = time.time()
-        losses = []
-        for batch in epoch_batches(rng):
-            params, opt_state, ld = step_fn(
-                params, opt_state, batch, jnp.asarray(step, jnp.float32))
-            # keep losses on device: a float() here would serialize the
-            # async dispatch pipeline against host-side sampling
-            losses.append(ld["loss"])
-            step += 1
+        if run_epoch is not None:
+            xs = pending_xs or _epoch_scan_xs(
+                train_views, cfg, rng, jitter_mode, store, step)
+            params, opt_state, lds = run_epoch(
+                params, opt_state, store.arrays, *xs)
+            step += len(train_views)
+            # sample the NEXT epoch's indices while the dispatched scan
+            # executes (the lds fetch below is the sync point)
+            pending_xs = _epoch_scan_xs(
+                train_views, cfg, rng, jitter_mode, store,
+                step) if epoch + 1 < epochs else None
+            losses = list(np.asarray(lds["loss"], np.float64))
+        else:
+            losses = []
+            for batch in epoch_batches(rng):
+                params, opt_state, ld = step_fn(
+                    params, opt_state, batch,
+                    jnp.asarray(step, jnp.float32))
+                # keep losses on device: a float() here would serialize
+                # the async dispatch pipeline against host sampling
+                losses.append(ld["loss"])
+                step += 1
         mean_loss, n_skipped = _finite_mean(losses)
         history.append(mean_loss)
         e1 = epoch + 1
@@ -451,18 +522,43 @@ def train_vq_nfr(cfg: dc.DecompConfig, nfr_params, train_views, vali_views,
 
     step = start_epoch * max(len(train_views), 1)
     history = []
-    epoch_batches = _make_batch_source(train_views, cfg, "random")
+    epoch_batches, store = _make_batch_source(train_views, cfg, "random")
+    run_epoch = (dt.make_vq_epoch_scan(step_fn)
+                 if _resolve_epoch_scan(cfg, store) else None)
+
+    def _vq_xs(step0):
+        nonlocal key
+        vi, pix, steps = _epoch_scan_xs(
+            train_views, cfg, rng, "random", store, step0)
+        subs = []
+        for _ in train_views:  # same key stream as the step path
+            key, sub = jax.random.split(key)
+            subs.append(sub)
+        return vi, pix, jnp.stack(subs), steps
+
+    pending_xs = None
     for epoch in range(start_epoch, epochs):
         t_epoch = time.time()
-        loss_dicts = []
-        for batch in epoch_batches(rng):
-            key, sub = jax.random.split(key)
-            params, ema_state, opt_state, ld = step_fn(
-                params, ema_state, opt_state, batch, train_thres, sub,
-                jnp.asarray(step, jnp.float32))
-            loss_dicts.append(ld)  # device arrays; sync at epoch end
-            step += 1
-        loss_dicts = _sync_scalar_dicts(loss_dicts)
+        if run_epoch is not None:
+            vi, pix, subs, steps = pending_xs or _vq_xs(step)
+            params, ema_state, opt_state, lds = run_epoch(
+                params, ema_state, opt_state, store.arrays, train_thres,
+                vi, pix, subs, steps)
+            step += len(train_views)
+            # next epoch's sampling overlaps the dispatched scan (the
+            # _unstack_lds fetch below is the sync point)
+            pending_xs = _vq_xs(step) if epoch + 1 < epochs else None
+            loss_dicts = _unstack_lds(lds)
+        else:
+            loss_dicts = []
+            for batch in epoch_batches(rng):
+                key, sub = jax.random.split(key)
+                params, ema_state, opt_state, ld = step_fn(
+                    params, ema_state, opt_state, batch, train_thres,
+                    sub, jnp.asarray(step, jnp.float32))
+                loss_dicts.append(ld)  # device; sync at epoch end
+                step += 1
+            loss_dicts = _sync_scalar_dicts(loss_dicts)
         mean_loss, n_skipped = _finite_mean(
             [d["loss"] for d in loss_dicts])
         history.append(mean_loss)
@@ -589,15 +685,32 @@ def train_ref_nfr(cfg: dc.DecompConfig, vq_params, light, train_views,
 
     step = start_epoch * max(len(train_views), 1)
     history = []
-    epoch_batches = _make_batch_source(train_views, cfg, "contrast")
+    epoch_batches, store = _make_batch_source(train_views, cfg,
+                                              "contrast")
+    # donate only opt_state: params carry the frozen subtree
+    run_epoch = (dt.make_plain_epoch_scan(step_fn, donate=(1,))
+                 if _resolve_epoch_scan(cfg, store) else None)
+    pending_xs = None
     for epoch in range(start_epoch, epochs):
         t_epoch = time.time()
-        losses = []
-        for batch in epoch_batches(rng):
-            params, opt_state, ld = step_fn(
-                params, opt_state, batch, jnp.asarray(step, jnp.float32))
-            losses.append(ld["loss"])  # device array; sync at epoch end
-            step += 1
+        if run_epoch is not None:
+            xs = pending_xs or _epoch_scan_xs(
+                train_views, cfg, rng, "contrast", store, step)
+            params, opt_state, lds = run_epoch(
+                params, opt_state, store.arrays, *xs)
+            step += len(train_views)
+            pending_xs = _epoch_scan_xs(
+                train_views, cfg, rng, "contrast", store,
+                step) if epoch + 1 < epochs else None
+            losses = list(np.asarray(lds["loss"], np.float64))
+        else:
+            losses = []
+            for batch in epoch_batches(rng):
+                params, opt_state, ld = step_fn(
+                    params, opt_state, batch,
+                    jnp.asarray(step, jnp.float32))
+                losses.append(ld["loss"])  # device; sync at epoch end
+                step += 1
         mean_loss, n_skipped = _finite_mean(losses)
         history.append(mean_loss)
         e1 = epoch + 1
