@@ -85,6 +85,12 @@ class DeviceViewStore:
                      if getattr(views[0], k, None) is not None]
         n_pix = views[0].rayo.reshape(views[0].rayo.shape[0], -1).shape[0]
         self.pad_index = n_pix  # the appended zero row
+        # rows stored FLAT as [V*(HW+1), C]: the gather indexes
+        # view_idx*row_stride + pix directly, so XLA emits one small
+        # row-gather instead of a [HW+1, C] dynamic-slice (which would
+        # materialize the whole view — 134 MB for a 512-light lvis at
+        # 256^2 — per step inside the scanned epoch)
+        self.row_stride = n_pix + 1
         self._mesh = mesh if (mesh is not None
                               and mesh.devices.size > 1) else None
 
@@ -96,7 +102,7 @@ class DeviceViewStore:
             arr = np.concatenate(
                 [arr, np.zeros((self.n_views, 1, arr.shape[-1]),
                                np.float32)], axis=1)  # pad row
-            stacked[k] = arr
+            stacked[k] = arr.reshape(self.n_views * self.row_stride, -1)
         logger.info(
             "[device-views] staging %d views (%.0f MB) on device",
             self.n_views, store_nbytes(views) / 2**20)
@@ -118,13 +124,19 @@ class DeviceViewStore:
 
     @property
     def arrays(self):
-        """Device-resident {key: [V, HW+1, C]} dict (for the scanned
-        epoch runners, which gather inside lax.scan)."""
+        """Device-resident {key: [V*(HW+1), C]} dict (for the scanned
+        epoch runners, which gather inside lax.scan via gather_rows)."""
         return self._arrays
 
     @staticmethod
-    def _gather_impl(arrays, view_idx, pix):
-        return {k: a[view_idx][pix] for k, a in arrays.items()}
+    def gather_rows(arrays, view_idx, pix, row_stride):
+        """The in-jit gather shared by gather() and the scanned epoch
+        bodies: one flat row-gather per buffer key."""
+        flat = view_idx * row_stride + pix
+        return {k: a[flat] for k, a in arrays.items()}
+
+    def _gather_impl(self, arrays, view_idx, pix):
+        return self.gather_rows(arrays, view_idx, pix, self.row_stride)
 
     def gather(self, view_idx, pix):
         """pix: [N] flat pixel indices (np.int64/int32) from sample_pix.

@@ -173,7 +173,7 @@ def make_ref_nfr_step(cfg: dc.DecompConfig, lxyz, lareas):
     return tx, step_fn
 
 
-def make_plain_epoch_scan(step_fn, donate=(0, 1)):
+def make_plain_epoch_scan(step_fn, row_stride, donate=(0, 1)):
     """Scan a whole epoch of nfr_unit/ref_nfr steps in ONE dispatch.
 
     Batches are gathered inside the scan body from a device-resident
@@ -185,12 +185,15 @@ def make_plain_epoch_scan(step_fn, donate=(0, 1)):
     identical by construction (equality asserted through full training
     runs in tests/test_device_store.py)."""
 
+    from ..data.device_store import DeviceViewStore
+
     @partial(jax.jit, donate_argnums=donate)
     def run(params, opt_state, arrays, vi_vec, pix_mat, steps_vec):
         def body(carry, x):
             p, o = carry
             vi, pix, stepf = x
-            batch = {k: a[vi][pix] for k, a in arrays.items()}
+            batch = DeviceViewStore.gather_rows(
+                arrays, vi, pix, row_stride)
             p, o, ld = step_fn(p, o, batch, stepf)
             return (p, o), ld
         (params, opt_state), lds = jax.lax.scan(
@@ -200,9 +203,10 @@ def make_plain_epoch_scan(step_fn, donate=(0, 1)):
     return run
 
 
-def make_vq_epoch_scan(step_fn):
+def make_vq_epoch_scan(step_fn, row_stride):
     """Epoch scan for the vq_nfr step (threads EMA state and the
     pre-split per-step rng keys; see make_plain_epoch_scan)."""
+    from ..data.device_store import DeviceViewStore
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def run(params, ema_state, opt_state, arrays, thres, vi_vec,
@@ -210,7 +214,8 @@ def make_vq_epoch_scan(step_fn):
         def body(carry, x):
             p, e, o = carry
             vi, pix, key, stepf = x
-            batch = {k: a[vi][pix] for k, a in arrays.items()}
+            batch = DeviceViewStore.gather_rows(
+                arrays, vi, pix, row_stride)
             p, e, o, ld = step_fn(p, e, o, batch, thres, key, stepf)
             return (p, e, o), ld
         (params, ema_state, opt_state), lds = jax.lax.scan(

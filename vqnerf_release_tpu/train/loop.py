@@ -169,12 +169,12 @@ def _epoch_scan_xs(train_views, cfg, rng, jitter_mode, store, step0):
 
 
 def _unstack_lds(lds):
-    """Stacked scan outputs {name: [K]} -> per-step float dicts (one
-    host transfer per key)."""
-    mat = {k: np.asarray(v, np.float64) for k, v in lds.items()}
-    k0 = next(iter(mat))
-    return [{k: float(mat[k][i]) for k in mat}
-            for i in range(mat[k0].shape[0])]
+    """Stacked scan outputs {name: [K]} -> per-step float dicts (ONE
+    host transfer for the whole epoch: stack on device, fetch once)."""
+    keys = sorted(lds)
+    mat = np.asarray(jnp.stack([lds[k] for k in keys]), np.float64)
+    return [{k: float(mat[i, j]) for i, k in enumerate(keys)}
+            for j in range(mat.shape[1])]
 
 
 def _epoch_dir(outdir, epoch):
@@ -388,7 +388,7 @@ def train_nfr_unit(cfg: dc.DecompConfig, train_views, vali_views, outdir,
     history = []
     epoch_batches, store = _make_batch_source(train_views, cfg,
                                               jitter_mode)
-    run_epoch = (dt.make_plain_epoch_scan(step_fn)
+    run_epoch = (dt.make_plain_epoch_scan(step_fn, store.row_stride)
                  if _resolve_epoch_scan(cfg, store) else None)
     pending_xs = None
     for epoch in range(start_epoch, epochs):
@@ -523,7 +523,7 @@ def train_vq_nfr(cfg: dc.DecompConfig, nfr_params, train_views, vali_views,
     step = start_epoch * max(len(train_views), 1)
     history = []
     epoch_batches, store = _make_batch_source(train_views, cfg, "random")
-    run_epoch = (dt.make_vq_epoch_scan(step_fn)
+    run_epoch = (dt.make_vq_epoch_scan(step_fn, store.row_stride)
                  if _resolve_epoch_scan(cfg, store) else None)
 
     def _vq_xs(step0):
@@ -688,7 +688,8 @@ def train_ref_nfr(cfg: dc.DecompConfig, vq_params, light, train_views,
     epoch_batches, store = _make_batch_source(train_views, cfg,
                                               "contrast")
     # donate only opt_state: params carry the frozen subtree
-    run_epoch = (dt.make_plain_epoch_scan(step_fn, donate=(1,))
+    run_epoch = (dt.make_plain_epoch_scan(step_fn, store.row_stride,
+                                          donate=(1,))
                  if _resolve_epoch_scan(cfg, store) else None)
     pending_xs = None
     for epoch in range(start_epoch, epochs):
