@@ -23,7 +23,10 @@ def main():
     dev = jax.devices()[0]
     print("backend:", dev.platform, file=sys.stderr)
     results = []
-    for mb in (1, 4, 16, 64, 256, 1024):
+    # measured 2026-08: 13.8 / 27.5 / 25.1 / 18.5 MB/s at 1/4/16/64 MB;
+    # a single 256 MB device_put HANGS (>9.5 min) through the tunnel —
+    # stage large buffers in <=64 MB chunks (data/device_store.py does)
+    for mb in (1, 4, 16, 64, 128):
         arr = np.random.rand(mb * 1024 * 1024 // 4).astype(np.float32)
         # warm the path at this size once for the small sizes
         if mb <= 16:

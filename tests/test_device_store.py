@@ -75,6 +75,22 @@ def test_mesh_gather_pads_with_background():
     assert np.all(np.asarray(dev["alpha"])[n:] == 0)  # background rows
 
 
+def test_chunked_put_matches_direct(monkeypatch):
+    # force the chunked staging path (production trigger: >64 MB keys;
+    # a single huge device_put runs at <1 MB/s through the axon tunnel)
+    from vqnerf_release_tpu.data import device_store as ds
+    monkeypatch.setattr(ds, "_CHUNK_BYTES", 64)
+    arr = np.random.RandomState(0).rand(37, 5).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(ds._chunked_put(arr)), arr)
+    views = [_view(s) for s in range(2)]
+    store = ds.DeviceViewStore(views)
+    pix = sample_pix(views[0], 8, np.random.RandomState(1))
+    host = outer_sample(views[0], 8, np.random.RandomState(1))
+    dev = store.gather(0, pix)
+    for k in host:
+        np.testing.assert_array_equal(np.asarray(dev[k]), host[k])
+
+
 def test_auto_policy_budget():
     views = [_view(s) for s in range(2)]
     assert store_nbytes(views) > 0

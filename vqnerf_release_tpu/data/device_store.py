@@ -68,6 +68,28 @@ def fits_device_memory(views, budget_bytes=None):
     return store_nbytes(views) <= budget_bytes
 
 
+_CHUNK_BYTES = 64 << 20  # scripts/bench_transfer.py: the axon tunnel
+# moves 4-64 MB buffers at ~18-27 MB/s but a single 256 MB device_put
+# HANGS; stage big arrays as row chunks and concatenate on device
+
+
+def _chunked_put(arr, sharding=None):
+    import jax
+    import jax.numpy as jnp
+
+    if arr.nbytes <= _CHUNK_BYTES:
+        x = jnp.asarray(arr)
+        return jax.device_put(x, sharding) if sharding is not None else x
+    rows = max(1, _CHUNK_BYTES // max(arr[0].nbytes, 1))
+    parts = []
+    for i in range(0, arr.shape[0], rows):
+        p = jnp.asarray(arr[i:i + rows])
+        if sharding is not None:
+            p = jax.device_put(p, sharding)
+        parts.append(p)
+    return jnp.concatenate(parts, axis=0)
+
+
 class DeviceViewStore:
     """Views staged on device once; per-step gather by flat pixel index.
 
@@ -111,14 +133,15 @@ class DeviceViewStore:
             from ..parallel.mesh import batch_sharding, replicate
             rep = replicate(self._mesh)
             self._arrays = {
-                k: jax.device_put(jnp.asarray(v), rep)
+                k: _chunked_put(v, sharding=rep)
                 for k, v in stacked.items()}
             self._pix_sharding = batch_sharding(self._mesh)
             out_sh = {k: self._pix_sharding for k in self.keys}
             self._gather = jax.jit(self._gather_impl,
                                    out_shardings=out_sh)
         else:
-            self._arrays = {k: jnp.asarray(v) for k, v in stacked.items()}
+            self._arrays = {k: _chunked_put(v)
+                            for k, v in stacked.items()}
             self._pix_sharding = None
             self._gather = jax.jit(self._gather_impl)
 
