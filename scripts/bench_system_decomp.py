@@ -55,18 +55,20 @@ def synth_views(n_views, imh, n_lights, seed=0):
 
 
 def run_mode(mode, views, args, root):
-    import dataclasses
-
     from vqnerf_release_tpu.models import decomp_common as dc
     from vqnerf_release_tpu.models.nfr_unit import init_nfr_unit
     from vqnerf_release_tpu.train import loop
 
+    # off = host-gather path; on = resident views, per-step gather;
+    # scan = resident views + one lax.scan dispatch per epoch
+    dv, scan = {"off": ("off", False), "on": ("on", False),
+                "scan": ("on", True)}[mode]
     # production step shape (DecompConfig defaults: z 256, 15 codes,
     # 512 lights, 1024 jitter pairs); epochs < 30 so cfg.epochs keeps
     # the 30-epoch vali period out of the timed window
     cfg = dc.DecompConfig(
         light_h=args.light_h, imh=args.imh,
-        total_sample_vq=2000, device_views=mode)
+        total_sample_vq=2000, device_views=dv, epoch_scan=scan)
     nfr_params = init_nfr_unit(0, cfg)
     out = join(root, mode)
     shutil.rmtree(out, ignore_errors=True)
@@ -93,7 +95,9 @@ def main():
     ap.add_argument("--imh", type=int, default=256)
     ap.add_argument("--light-h", type=int, default=16)
     ap.add_argument("--epochs", type=int, default=8)
-    ap.add_argument("--modes", default="off,on")
+    ap.add_argument("--modes", default="off,on,scan",
+                    help="comma list of off|on|scan (host-gather / "
+                         "resident per-step / resident scanned-epoch)")
     args = ap.parse_args()
 
     cfg_lights = 2 * args.light_h * args.light_h
@@ -106,9 +110,9 @@ def main():
         r = run_mode(mode, views, args, args.root)
         results.append(r)
         print(json.dumps(r))
-    if len(results) == 2:
-        print(f"== device-resident speedup: "
-              f"{results[0]['steady_epoch_s']/results[1]['steady_epoch_s']:.2f}x")
+    for r in results[1:]:
+        print(f"== {r['mode']} vs {results[0]['mode']}: "
+              f"{results[0]['steady_epoch_s']/r['steady_epoch_s']:.2f}x")
 
 
 if __name__ == "__main__":

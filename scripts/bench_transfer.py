@@ -23,14 +23,17 @@ def main():
     dev = jax.devices()[0]
     print("backend:", dev.platform, file=sys.stderr)
     results = []
-    # measured 2026-08: 13.8 / 27.5 / 25.1 / 18.5 MB/s at 1/4/16/64 MB;
-    # a single 256 MB device_put HANGS (>9.5 min) through the tunnel —
-    # stage large buffers in <=64 MB chunks (data/device_store.py does)
+    # measured 2026-08 (warm-biased first pass): 13.8 / 27.5 / 25.1 /
+    # 18.5 MB/s at 1/4/16/64 MB; a single 256 MB device_put ran at
+    # <0.5 MB/s (aborting it wedged the tunnel for ~30+ min — see
+    # CLAUDE.md). Large buffers stage in <=64 MB chunks
+    # (data/device_store.py::_chunked_put).
     for mb in (1, 4, 16, 64, 128):
         arr = np.random.rand(mb * 1024 * 1024 // 4).astype(np.float32)
-        # warm the path at this size once for the small sizes
-        if mb <= 16:
-            np.asarray(jax.device_put(arr)[:1])
+        # warm EVERY size once (put + the shape-specific x[:1] slice
+        # compile), then time the second pass — otherwise the large
+        # sizes carry first-dispatch/compile cost the small ones don't
+        np.asarray(jax.device_put(arr)[:1])
         t0 = time.time()
         x = jax.device_put(arr)
         # force completion: a dependent host read of one element

@@ -98,6 +98,35 @@ def test_auto_policy_budget():
     assert not fits_device_memory(views, budget_bytes=128)
 
 
+def test_store_cached_across_phases():
+    # nfr_unit and vq_nfr share the SAME views list; a pipeline run must
+    # stage the multi-GB store once, not once per phase
+    from vqnerf_release_tpu.data.device_store import get_store
+    views = [_view(s) for s in range(2)]
+    assert get_store(views) is get_store(views)
+    assert get_store(views) is not get_store([_view(7)])
+
+
+def test_heterogeneous_views_fall_back():
+    from vqnerf_release_tpu.data.device_store import views_compatible
+    homo = [_view(0), _view(1)]
+    assert views_compatible(homo)
+    mixed_res = [_view(0), _view(1, h=6, w=6)]
+    mixed_keys = [_view(0, with_lvis=True), _view(1, with_lvis=False)]
+    assert not views_compatible(mixed_res)
+    assert not views_compatible(mixed_keys)
+    with pytest.raises(ValueError, match="homogeneous"):
+        DeviceViewStore(mixed_res)
+    # the auto default must route heterogeneous data to the host path
+    # (not crash): a short nfr_unit run trains through
+    import dataclasses
+
+    from vqnerf_release_tpu.train.loop import _make_batch_source
+    cfg = dataclasses.replace(CFG, device_views="auto")
+    _, store = _make_batch_source(mixed_keys, cfg, "contrast")
+    assert store is None
+
+
 @pytest.mark.parametrize("trainer", ["nfr_unit", "vq_nfr", "ref_nfr"])
 def test_training_trajectory_identical(tmp_path, trainer, monkeypatch):
     # pin the numpy sampler so 'on' and 'off' share the rng stream

@@ -26,7 +26,8 @@ import logging
 
 import numpy as np
 
-__all__ = ["DeviceViewStore", "store_nbytes", "fits_device_memory"]
+__all__ = ["DeviceViewStore", "get_store", "store_nbytes",
+           "views_compatible", "fits_device_memory"]
 
 logger = logging.getLogger(__name__)
 
@@ -49,6 +50,30 @@ def store_nbytes(views):
         n, c = arr.reshape(arr.shape[0], -1).shape
         total += len(views) * (n + 1) * c * 4
     return total
+
+
+def views_compatible(views):
+    """True iff every view shares view[0]'s resolution and key set —
+    the store stacks [V, HW, C] per key, so a heterogeneous dataset
+    must fall back to the host-gather path instead of crashing
+    (device_views='auto' checks this before staging)."""
+    if not views:
+        return False
+    n0 = views[0].rayo.reshape(views[0].rayo.shape[0], -1).shape[0]
+    keys0 = [k for k in _KEYS if getattr(views[0], k, None) is not None]
+    for v in views[1:]:
+        keys = [k for k in _KEYS if getattr(v, k, None) is not None]
+        if keys != keys0:
+            return False
+        for k in keys:
+            a = np.asarray(getattr(v, k))
+            a0 = np.asarray(getattr(views[0], k))
+            if (a.reshape(a.shape[0], -1).shape
+                    != a0.reshape(a0.shape[0], -1).shape):
+                return False
+        if v.rayo.reshape(v.rayo.shape[0], -1).shape[0] != n0:
+            return False
+    return True
 
 
 def fits_device_memory(views, budget_bytes=None):
@@ -102,6 +127,11 @@ class DeviceViewStore:
         import jax
         import jax.numpy as jnp
 
+        if not views_compatible(views):
+            raise ValueError(
+                "DeviceViewStore needs homogeneous views (same "
+                "resolution and buffer keys); use device_views='off' "
+                "(or 'auto', which falls back) for this dataset")
         self.n_views = len(views)
         self.keys = [k for k in _KEYS
                      if getattr(views[0], k, None) is not None]
@@ -169,10 +199,29 @@ class DeviceViewStore:
 
         pix = np.asarray(pix, np.int32)
         if self._mesh is not None:
-            n_dev = self._mesh.devices.size
-            if pix.shape[0] % n_dev:
-                pad = n_dev - pix.shape[0] % n_dev
-                pix = np.concatenate(
-                    [pix, np.full((pad,), self.pad_index, np.int32)])
+            from ..parallel.mesh import pad_to_multiple
+            pix, _ = pad_to_multiple(pix, self._mesh.devices.size,
+                                     pad_value=self.pad_index)
             pix = jax.device_put(jnp.asarray(pix), self._pix_sharding)
         return self._gather(self._arrays, jnp.int32(view_idx), pix)
+
+
+_STORE_CACHE = []  # [(view_ids, views_ref, mesh_key, store)], max 2
+
+
+def get_store(views, mesh=None):
+    """DeviceViewStore for these views, cached by view identity: the
+    nfr_unit and vq_nfr phases train on the SAME view list, so a full
+    pipeline run must not re-upload the multi-GB store per phase. The
+    cache keeps a strong reference to the views so ids cannot be
+    recycled; 2 entries cover a pipeline (train list + with_ref list)."""
+    key = tuple(id(v) for v in views)
+    mesh_key = (None if mesh is None
+                else tuple(d.id for d in mesh.devices.flat))
+    for ids, _ref, mk, store in _STORE_CACHE:
+        if ids == key and mk == mesh_key:
+            return store
+    store = DeviceViewStore(views, mesh=mesh)
+    _STORE_CACHE.append((key, views, mesh_key, store))
+    del _STORE_CACHE[:-2]
+    return store

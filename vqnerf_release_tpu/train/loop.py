@@ -43,48 +43,60 @@ __all__ = ["train_nfr_unit", "train_vq_nfr", "train_ref_nfr",
            "save_metas", "elbow_select"]
 
 
-def outer_sample(view, n_rays, rng, jitter_mode="random", alpha_thres=0.9):
-    """Dispatch to the native sampler (native/fastloader, ~10x the numpy
-    path) when the library is built; identical output contract but a
-    different RNG stream. VQNERF_NATIVE_SAMPLER=0 pins the numpy sampler
-    (the test suite does, for determinism), =1 forces native, unset =
-    auto (use it if built)."""
+def _native_flat_pix(view, n_rays, rng, jitter_mode, alpha_thres):
+    """Native index selection, or None for the numpy path. The ONE
+    place that resolves VQNERF_NATIVE_SAMPLER (=0 pins numpy — the test
+    suite does, for determinism; =1 forces native; unset = auto) and
+    draws the native seed, so outer_sample and sample_view_pix provably
+    consume the rng identically (the bit-identical-batch guarantee of
+    the device-resident path rests on that)."""
     mode = os.environ.get("VQNERF_NATIVE_SAMPLER", "auto")
-    if mode != "0":
-        from ..data import native as _native
-        if _native.native_available():
-            return _native.outer_sample_native(
-                view, n_rays, seed=int(rng.randint(0, 2**31 - 1)),
-                jitter_mode=jitter_mode, alpha_thres=alpha_thres)
-        if mode == "1":
-            raise RuntimeError(
-                "VQNERF_NATIVE_SAMPLER=1 but native/fastloader is not "
-                "built (make -C native/fastloader)")
-    return _outer_sample_np(view, n_rays, rng, jitter_mode=jitter_mode,
-                            alpha_thres=alpha_thres)
+    if mode == "0":
+        return None
+    from ..data import native as _native
+    if _native.native_available():
+        coords = _native.select_pairs(
+            view.alpha.reshape(view.h, view.w),
+            view.rgb.reshape(view.h, view.w, 3), n_rays,
+            jitter_mode=jitter_mode, alpha_thres=alpha_thres,
+            seed=int(rng.randint(0, 2**31 - 1)))
+        return coords[:, 0] * view.w + coords[:, 1]
+    if mode == "1":
+        raise RuntimeError(
+            "VQNERF_NATIVE_SAMPLER=1 but native/fastloader is not "
+            "built (make -C native/fastloader)")
+    return None
 
 
 def sample_view_pix(view, n_rays, rng, jitter_mode="random",
                     alpha_thres=0.9):
-    """Index-only counterpart of outer_sample for the device-resident
-    gather path: same native/numpy dispatch, same rng/seed consumption,
-    so batches match the host path bit for bit."""
-    mode = os.environ.get("VQNERF_NATIVE_SAMPLER", "auto")
-    if mode != "0":
-        from ..data import native as _native
-        if _native.native_available():
-            coords = _native.select_pairs(
-                view.alpha.reshape(view.h, view.w),
-                view.rgb.reshape(view.h, view.w, 3), n_rays,
-                jitter_mode=jitter_mode, alpha_thres=alpha_thres,
-                seed=int(rng.randint(0, 2**31 - 1)))
-            return coords[:, 0] * view.w + coords[:, 1]
-        if mode == "1":
-            raise RuntimeError(
-                "VQNERF_NATIVE_SAMPLER=1 but native/fastloader is not "
-                "built (make -C native/fastloader)")
+    """[2*n_rays] flat pixel indices (native when built, else numpy;
+    ~10x apart in speed, different RNG streams, identical contract)."""
+    flat = _native_flat_pix(view, n_rays, rng, jitter_mode, alpha_thres)
+    if flat is not None:
+        return flat
     return _sample_pix_np(view, n_rays, rng, jitter_mode=jitter_mode,
                           alpha_thres=alpha_thres)
+
+
+def outer_sample(view, n_rays, rng, jitter_mode="random", alpha_thres=0.9):
+    """sample_view_pix + host gather: the batch dict the host-path
+    trainers device_put (the native gather is ~10x the numpy one)."""
+    flat = _native_flat_pix(view, n_rays, rng, jitter_mode, alpha_thres)
+    if flat is None:
+        return _outer_sample_np(view, n_rays, rng,
+                                jitter_mode=jitter_mode,
+                                alpha_thres=alpha_thres)
+    from ..data import native as _native
+    n = view.h * view.w
+    batch = {}
+    for k in ("rayo", "rayd", "rgb", "alpha", "pred_alpha", "xyz",
+              "normal", "lvis", "ref"):
+        arr = getattr(view, k, None)
+        if arr is None:
+            continue
+        batch[k] = _native.gather_rows(arr.reshape(n, -1), flat)
+    return batch
 
 
 def _make_batch_source(train_views, cfg, jitter_mode):
@@ -104,9 +116,17 @@ def _make_batch_source(train_views, cfg, jitter_mode):
             "device_views must be 'auto', 'on' or 'off', got %r" % mode)
     store = None
     if train_views and mode != "off":
-        from ..data.device_store import DeviceViewStore, fits_device_memory
-        if mode == "on" or fits_device_memory(train_views):
-            store = DeviceViewStore(train_views, mesh=_get_mesh())
+        from ..data.device_store import (fits_device_memory, get_store,
+                                         views_compatible)
+        if mode == "on":
+            store = get_store(train_views, mesh=_get_mesh())
+        elif not views_compatible(train_views):
+            print("[vqnerf-tpu] device_views=auto: heterogeneous views; "
+                  "using the host-gather path")
+        elif fits_device_memory(train_views):
+            # cached by view identity: nfr_unit and vq_nfr share the
+            # same list, so a pipeline stages the store once, not 3x
+            store = get_store(train_views, mesh=_get_mesh())
         else:
             print("[vqnerf-tpu] device_views=auto: views exceed the "
                   "device-memory budget; using the host-gather path")
@@ -148,11 +168,10 @@ def _epoch_scan_xs(train_views, cfg, rng, jitter_mode, store, step0):
         for v in train_views]).astype(np.int32)
     mesh = _get_mesh()
     n_dev = mesh.devices.size
-    if n_dev > 1 and pix.shape[1] % n_dev:
-        padn = n_dev - pix.shape[1] % n_dev
-        pix = np.concatenate(
-            [pix, np.full((pix.shape[0], padn), store.pad_index,
-                          np.int32)], axis=1)
+    if n_dev > 1:
+        from ..parallel.mesh import pad_to_multiple
+        pix, _ = pad_to_multiple(pix, n_dev, axis=1,
+                                 pad_value=store.pad_index)
     k = len(train_views)
     vi = jnp.asarray(np.arange(k, dtype=np.int32))
     steps = jnp.asarray(step0 + np.arange(k, dtype=np.float32))
@@ -170,9 +189,11 @@ def _epoch_scan_xs(train_views, cfg, rng, jitter_mode, store, step0):
 
 def _unstack_lds(lds):
     """Stacked scan outputs {name: [K]} -> per-step float dicts (ONE
-    host transfer for the whole epoch: stack on device, fetch once)."""
+    host transfer for the whole epoch: stack on device, fetch once).
+    Shares its fetch core with _sync_scalar_dicts."""
     keys = sorted(lds)
-    mat = np.asarray(jnp.stack([lds[k] for k in keys]), np.float64)
+    mat = np.asarray(jnp.stack([jnp.asarray(lds[k]) for k in keys]),
+                     np.float64)
     return [{k: float(mat[i, j]) for i, k in enumerate(keys)}
             for j in range(mat.shape[1])]
 
@@ -208,16 +229,13 @@ def _sync_scalars(vals):
 
 def _sync_scalar_dicts(dicts):
     """One host transfer for a whole epoch's list of {name: scalar}
-    loss dicts (see _sync_scalars): stacks to a [K, N] device matrix,
-    fetches once, and rebuilds the per-step float dicts."""
+    loss dicts: transposes to the {name: [K]} form and delegates to
+    _unstack_lds (stack on device, fetch once, rebuild floats)."""
     if not dicts:
         return dicts
-    keys = sorted(dicts[0])
-    mat = np.asarray(jnp.stack(
-        [jnp.stack([jnp.asarray(d[k]) for d in dicts]) for k in keys]),
-        np.float64)
-    return [{k: float(mat[i, j]) for i, k in enumerate(keys)}
-            for j in range(len(dicts))]
+    return _unstack_lds({
+        k: jnp.stack([jnp.asarray(d[k]) for d in dicts])
+        for k in dicts[0]})
 
 
 def _finite_mean(vals):
@@ -386,8 +404,11 @@ def train_nfr_unit(cfg: dc.DecompConfig, train_views, vali_views, outdir,
 
     step = start_epoch * max(len(train_views), 1)
     history = []
-    epoch_batches, store = _make_batch_source(train_views, cfg,
-                                              jitter_mode)
+    if start_epoch < epochs:  # don't stage the store for a no-op resume
+        epoch_batches, store = _make_batch_source(train_views, cfg,
+                                                  jitter_mode)
+    else:
+        epoch_batches = store = None
     run_epoch = (dt.make_plain_epoch_scan(step_fn, store.row_stride)
                  if _resolve_epoch_scan(cfg, store) else None)
     pending_xs = None
@@ -522,7 +543,11 @@ def train_vq_nfr(cfg: dc.DecompConfig, nfr_params, train_views, vali_views,
 
     step = start_epoch * max(len(train_views), 1)
     history = []
-    epoch_batches, store = _make_batch_source(train_views, cfg, "random")
+    if start_epoch < epochs:  # don't stage the store for a no-op resume
+        epoch_batches, store = _make_batch_source(train_views, cfg,
+                                                  "random")
+    else:
+        epoch_batches = store = None
     run_epoch = (dt.make_vq_epoch_scan(step_fn, store.row_stride)
                  if _resolve_epoch_scan(cfg, store) else None)
 
@@ -685,8 +710,11 @@ def train_ref_nfr(cfg: dc.DecompConfig, vq_params, light, train_views,
 
     step = start_epoch * max(len(train_views), 1)
     history = []
-    epoch_batches, store = _make_batch_source(train_views, cfg,
-                                              "contrast")
+    if start_epoch < epochs:  # don't stage the store for a no-op resume
+        epoch_batches, store = _make_batch_source(train_views, cfg,
+                                                  "contrast")
+    else:
+        epoch_batches = store = None
     # donate only opt_state: params carry the frozen subtree
     run_epoch = (dt.make_plain_epoch_scan(step_fn, store.row_stride,
                                           donate=(1,))
