@@ -87,6 +87,10 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--occ", action="store_true",
                     help="include occupancy-sampler configs")
+    ap.add_argument("--occ-res", type=int, default=64,
+                    help="occupancy grid resolution for the --occ rows "
+                         "(128 recovers thin-geometry quality at 24+16, "
+                         "see the r3 guardrail)")
     args = ap.parse_args()
 
     from vqnerf_release_tpu.models.neus import NeuSConfig
@@ -127,7 +131,7 @@ def main():
         ]
         for label, ncfg in occ_grid:
             time_config(f"{label} b{b}", ncfg, tcfg, b,
-                        n_iters=args.iters, occ_res=64)
+                        n_iters=args.iters, occ_res=args.occ_res)
 
 
 if __name__ == "__main__":

@@ -98,6 +98,60 @@ def test_auto_policy_budget():
     assert not fits_device_memory(views, budget_bytes=128)
 
 
+def test_u8_store_quantizes_lvis_only():
+    views = [_view(s) for s in range(3)]
+    # u8 prices lvis at 1 byte/elem; everything else stays fp32
+    n_lvis = sum((v.lvis.size + v.lvis.shape[-1]) for v in views)
+    assert store_nbytes(views) - store_nbytes(views, quant=True) \
+        == 3 * n_lvis
+    store = DeviceViewStore(views, quant=True)
+    import jax.numpy as jnp
+    assert store.arrays["lvis"].dtype == jnp.uint8
+    assert store.arrays["rgb"].dtype == jnp.float32
+    for vi, view in enumerate(views):
+        pix = sample_pix(view, 16, np.random.RandomState(7 + vi))
+        host = outer_sample(view, 16, np.random.RandomState(7 + vi))
+        dev = store.gather(vi, pix)
+        for k in host:
+            got = np.asarray(dev[k])
+            if k == "lvis":
+                # quantized round trip: within half a u8 step, and
+                # exactly equal to the explicit round-trip formula
+                np.testing.assert_allclose(got, host[k], atol=0.5 / 255)
+                expect = np.clip(np.rint(host[k] * 255), 0, 255) / 255.0
+                np.testing.assert_allclose(got, expect.astype(np.float32),
+                                           rtol=0, atol=1e-7)
+            else:
+                np.testing.assert_array_equal(got, host[k], err_msg=k)
+
+
+def test_u8_mode_trains_and_auto_hints(tmp_path, capsys, monkeypatch):
+    monkeypatch.setenv("VQNERF_NATIVE_SAMPLER", "0")
+    views = [_view(s) for s in range(2)]
+    vali = [_view(9)]
+    cfg = dataclasses.replace(CFG, device_views="u8")
+    params, hist = loop.train_nfr_unit(
+        cfg, views, vali, str(tmp_path / "u8"), resume=False)
+    assert np.all(np.isfinite(hist))
+    # 'auto' must NOT quantize silently when fp32 does not fit — it
+    # falls back to the host path and hints at 'u8' when that would fit
+    from vqnerf_release_tpu.data import device_store as ds
+    from vqnerf_release_tpu.train.loop import _make_batch_source
+    fp32_bytes = store_nbytes(views)
+    u8_bytes = store_nbytes(views, quant=True)
+    budget = (fp32_bytes + u8_bytes) // 2
+    monkeypatch.setattr(ds, "_DEFAULT_BUDGET_BYTES", budget)
+    monkeypatch.setattr(
+        ds, "fits_device_memory",
+        lambda v, budget_bytes=None, quant=False:
+        store_nbytes(v, quant=quant) <= budget)
+    cfg_auto = dataclasses.replace(CFG, device_views="auto")
+    _, store = _make_batch_source(views, cfg_auto, "contrast")
+    assert store is None
+    out = capsys.readouterr().out
+    assert "u8" in out and "WOULD fit" in out
+
+
 def test_store_cached_across_phases():
     # nfr_unit and vq_nfr share the SAME views list; a pipeline run must
     # stage the multi-GB store once, not once per phase

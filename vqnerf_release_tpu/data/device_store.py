@@ -34,21 +34,31 @@ logger = logging.getLogger(__name__)
 _KEYS = ("rayo", "rayd", "rgb", "alpha", "pred_alpha", "xyz", "normal",
          "lvis", "ref")
 
+# [0,1]-domain buffers eligible for uint8 staging (device_views='u8').
+# lvis dominates the store (n_lights channels vs 3 for everything else:
+# a 512-direction lvis is ~97% of the bytes), so quantizing it alone
+# cuts the store ~4x. Quantization error is ±1/510 per value — NOT
+# bit-identical to the host path, which is why 'u8' is an explicit
+# opt-in mode rather than an 'auto' tier.
+_QUANT_KEYS = ("lvis",)
+
 # Conservative default budget when the backend does not report its
 # memory: leaves >= 3/4 of a 16 GB v5e HBM for params/grads/activations.
 _DEFAULT_BUDGET_BYTES = 4 << 30
 
 
-def store_nbytes(views):
+def store_nbytes(views, quant=False):
     """Device bytes the store would need for these views (per device —
-    the store is replicated over the mesh)."""
+    the store is replicated over the mesh). quant=True prices the
+    device_views='u8' layout (uint8 for _QUANT_KEYS, float32 rest)."""
     total = 0
     for k in _KEYS:
         arr = getattr(views[0], k, None)
         if arr is None:
             continue
         n, c = arr.reshape(arr.shape[0], -1).shape
-        total += len(views) * (n + 1) * c * 4
+        itemsize = 1 if (quant and k in _QUANT_KEYS) else 4
+        total += len(views) * (n + 1) * c * itemsize
     return total
 
 
@@ -76,7 +86,7 @@ def views_compatible(views):
     return True
 
 
-def fits_device_memory(views, budget_bytes=None):
+def fits_device_memory(views, budget_bytes=None, quant=False):
     """'auto' policy: stage the views on device iff they fit the budget.
 
     Budget = 25% of the backend-reported per-device memory when
@@ -90,7 +100,7 @@ def fits_device_memory(views, budget_bytes=None):
                 budget_bytes = stats["bytes_limit"] // 4
         except Exception:  # tunnel/CPU backends may not report stats
             pass
-    return store_nbytes(views) <= budget_bytes
+    return store_nbytes(views, quant=quant) <= budget_bytes
 
 
 _CHUNK_BYTES = 64 << 20  # scripts/bench_transfer.py: the axon tunnel
@@ -123,7 +133,7 @@ class DeviceViewStore:
     mesh the store is replicated and the gathered batch comes back
     sharded over the ray axis (same layout shard_batch produces)."""
 
-    def __init__(self, views, mesh=None):
+    def __init__(self, views, mesh=None, quant=False):
         import jax
         import jax.numpy as jnp
 
@@ -132,6 +142,7 @@ class DeviceViewStore:
                 "DeviceViewStore needs homogeneous views (same "
                 "resolution and buffer keys); use device_views='off' "
                 "(or 'auto', which falls back) for this dataset")
+        self.quant = bool(quant)
         self.n_views = len(views)
         self.keys = [k for k in _KEYS
                      if getattr(views[0], k, None) is not None]
@@ -154,10 +165,16 @@ class DeviceViewStore:
             arr = np.concatenate(
                 [arr, np.zeros((self.n_views, 1, arr.shape[-1]),
                                np.float32)], axis=1)  # pad row
-            stacked[k] = arr.reshape(self.n_views * self.row_stride, -1)
+            arr = arr.reshape(self.n_views * self.row_stride, -1)
+            if self.quant and k in _QUANT_KEYS:
+                # [0,1]-domain buffer -> uint8; gather_rows dequantizes
+                arr = np.clip(np.rint(arr * 255.0), 0, 255) \
+                    .astype(np.uint8)
+            stacked[k] = arr
         logger.info(
-            "[device-views] staging %d views (%.0f MB) on device",
-            self.n_views, store_nbytes(views) / 2**20)
+            "[device-views] staging %d views (%.0f MB%s) on device",
+            self.n_views, store_nbytes(views, quant=self.quant) / 2**20,
+            ", lvis quantized to u8" if self.quant else "")
 
         if self._mesh is not None:
             from ..parallel.mesh import batch_sharding, replicate
@@ -184,9 +201,19 @@ class DeviceViewStore:
     @staticmethod
     def gather_rows(arrays, view_idx, pix, row_stride):
         """The in-jit gather shared by gather() and the scanned epoch
-        bodies: one flat row-gather per buffer key."""
+        bodies: one flat row-gather per buffer key. uint8-staged keys
+        (device_views='u8') dequantize here, AFTER the gather — the
+        store stays u8 in HBM, only the batch is float32."""
+        import jax.numpy as jnp
+
         flat = view_idx * row_stride + pix
-        return {k: a[flat] for k, a in arrays.items()}
+        out = {}
+        for k, a in arrays.items():
+            rows = a[flat]
+            if rows.dtype == jnp.uint8:
+                rows = rows.astype(jnp.float32) * (1.0 / 255.0)
+            out[k] = rows
+        return out
 
     def _gather_impl(self, arrays, view_idx, pix):
         return self.gather_rows(arrays, view_idx, pix, self.row_stride)
@@ -209,19 +236,19 @@ class DeviceViewStore:
 _STORE_CACHE = []  # [(view_ids, views_ref, mesh_key, store)], max 2
 
 
-def get_store(views, mesh=None):
+def get_store(views, mesh=None, quant=False):
     """DeviceViewStore for these views, cached by view identity: the
     nfr_unit and vq_nfr phases train on the SAME view list, so a full
     pipeline run must not re-upload the multi-GB store per phase. The
     cache keeps a strong reference to the views so ids cannot be
     recycled; 2 entries cover a pipeline (train list + with_ref list)."""
-    key = tuple(id(v) for v in views)
+    key = (tuple(id(v) for v in views), bool(quant))
     mesh_key = (None if mesh is None
                 else tuple(d.id for d in mesh.devices.flat))
     for ids, _ref, mk, store in _STORE_CACHE:
         if ids == key and mk == mesh_key:
             return store
-    store = DeviceViewStore(views, mesh=mesh)
+    store = DeviceViewStore(views, mesh=mesh, quant=quant)
     _STORE_CACHE.append((key, views, mesh_key, store))
     del _STORE_CACHE[:-2]
     return store

@@ -99,7 +99,11 @@ class DecompConfig:
     # the ~4.3 MB gathered batch; see data/device_store.py) when the
     # views fit the device-memory budget, falling back to the
     # host-gather + prefetch path otherwise. 'on' forces staging, 'off'
-    # forces the host path. Batches are bit-identical either way.
+    # forces the host path. Batches are bit-identical in all of those.
+    # 'u8' additionally stages lvis quantized to uint8 (±1/510 per
+    # value, ~4x smaller store — fits 512-light scenes the fp32 store
+    # cannot); explicit opt-in because batches then differ from the
+    # host path at the quantization step.
     device_views: str = "auto"
     # With device-resident views, run each training epoch as ONE
     # lax.scan dispatch (all K steps in a single XLA program, batches

@@ -102,24 +102,28 @@ def outer_sample(view, n_rays, rng, jitter_mode="random", alpha_thres=0.9):
 def _make_batch_source(train_views, cfg, jitter_mode):
     """Per-epoch training batch generator factory.
 
-    Resolves cfg.device_views ('auto'/'on'/'off'): when the views fit
-    the device-memory budget they are staged once on device and each
+    Resolves cfg.device_views ('auto'/'on'/'u8'/'off'): when the views
+    fit the device-memory budget they are staged once on device and each
     step ships only sample_view_pix indices (data/device_store.py);
     otherwise every batch is host-gathered and device_put (the
-    reference's tf.data streaming model, trainvali.py:108-122). Either
-    way the returned callable yields identical prefetched batches.
+    reference's tf.data streaming model, trainvali.py:108-122). 'u8'
+    stages the lvis buffer quantized to uint8 (±1/510 per value, ~4x
+    smaller store) — an explicit opt-in because batches are then no
+    longer bit-identical to the host path; 'auto' never quantizes
+    silently, it only prints the hint when u8 would have fit.
 
     Returns (epoch_batches, store); store is None on the host path."""
     mode = getattr(cfg, "device_views", "off") or "off"
-    if mode not in ("auto", "on", "off"):
-        raise ValueError(
-            "device_views must be 'auto', 'on' or 'off', got %r" % mode)
+    if mode not in ("auto", "on", "u8", "off"):
+        raise ValueError("device_views must be 'auto', 'on', 'u8' or "
+                         "'off', got %r" % mode)
     store = None
     if train_views and mode != "off":
         from ..data.device_store import (fits_device_memory, get_store,
                                          views_compatible)
-        if mode == "on":
-            store = get_store(train_views, mesh=_get_mesh())
+        if mode in ("on", "u8"):
+            store = get_store(train_views, mesh=_get_mesh(),
+                              quant=(mode == "u8"))
         elif not views_compatible(train_views):
             print("[vqnerf-tpu] device_views=auto: heterogeneous views; "
                   "using the host-gather path")
@@ -128,8 +132,13 @@ def _make_batch_source(train_views, cfg, jitter_mode):
             # same list, so a pipeline stages the store once, not 3x
             store = get_store(train_views, mesh=_get_mesh())
         else:
+            hint = (" (device_views='u8' WOULD fit by quantizing lvis "
+                    "to uint8, ±1/510)"
+                    if fits_device_memory(train_views, quant=True)
+                    else "")
             print("[vqnerf-tpu] device_views=auto: views exceed the "
-                  "device-memory budget; using the host-gather path")
+                  "device-memory budget; using the host-gather path"
+                  + hint)
 
     def epoch_batches(rng):
         if store is not None:
