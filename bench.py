@@ -7,8 +7,8 @@ Metrics (all at the reference's production shapes):
      config/vq_nfr.ini + scripts/train/vq_nerf.sh).
   2. geo_train_rays_per_sec — full NeuS training step (2560-ray batch,
      grad-of-grad Eikonal) at the production default sampler:
-     occupancy-guided 32+16 samples, 2 up-sample rounds (quality-guarded
-     by the e2e smoke; BASELINE.md r2).
+     occupancy-guided 24+16 samples, 2 up-sample rounds, 128^3 grid
+     (quality-guarded by the 4-scene guardrail; BASELINE.md r3).
      geo_train_parity_rays_per_sec — same step at the reference-exact
      sampler (64 uniform + 64 importance, 4 rounds; confs/nerf.conf).
   3. lvis_shadow_rays_per_sec — occlusion-only render for light
@@ -179,8 +179,9 @@ def _bench_geo(metric_name, n_iters=10, **cfg_overrides):
         occ_grid = build_occ_grid(params["sdf"], ncfg.sdf, radius=1.0,
                                   res=tcfg.occ_res,
                                   margin_factor=tcfg.occ_margin)
-        # grid rebuild (every occ_update_freq=250 steps, ~19 ms) adds
-        # <0.5% at the production cadence; the timed loop holds it fixed
+        # grid rebuild (every occ_update_freq=250 steps; 80 ms at 128^3,
+        # 34 ms at 64^3) adds <1% at the production cadence; the timed
+        # loop holds it fixed
     batch = {k: jnp.asarray(v) for k, v in _geo_batch(n_rays).items()}
 
     # one lax.scan dispatch per timing window (see bench_decomp_train)
@@ -216,9 +217,9 @@ def _bench_geo(metric_name, n_iters=10, **cfg_overrides):
 
 
 def bench_geo_train():
-    """Production training default: occupancy-guided 32+16 r2 (quality
-    guard: e2e smoke at equal steps BEATS the parity sampler; see
-    BASELINE.md r2 rows)."""
+    """Production training default: occupancy-guided 24+16 r2 over a
+    128^3 grid (quality guard: beats the reference sampler at equal
+    steps on every hostile-geometry guardrail scene; BASELINE.md r3)."""
     return _bench_geo("geo_train_rays_per_sec", n_iters=30)
 
 

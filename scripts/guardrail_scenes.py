@@ -27,6 +27,10 @@ CONFIGS = [
     ("occ 16+16r2", ["--geo-sampler", "16+16r2", "--occ-res", "64"]),
     # fallback candidate: more initial samples, still occupancy-guided
     ("occ 32+16r2", ["--geo-sampler", "32+16r2", "--occ-res", "64"]),
+    # the shipped r3 default: fewer initial samples made safe on thin
+    # geometry by a finer 128^3 grid (the plate is ~2.6 cells thick
+    # there vs ~1.3 at 64^3; BASELINE.md r3 occ128 row)
+    ("occ 24+16r2/128", ["--geo-sampler", "24+16r2", "--occ-res", "128"]),
 ]
 
 
@@ -59,7 +63,8 @@ def main():
         table[shape] = {}
         for name, extra in CONFIGS:
             root = os.path.join(args.root, shape,
-                                name.replace(" ", "_").replace("+", ""))
+                                name.replace(" ", "_").replace("+", "")
+                                .replace("/", "g"))
             p = run_cell(shape, extra, root, args.geo_iters, args.imh)
             table[shape][name] = p
             print(f"{shape:8s} {name:12s} {p:6.2f} dB", flush=True)

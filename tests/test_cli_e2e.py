@@ -37,8 +37,11 @@ def test_cli_full_workflow(tmp_path):
                     "cam_transform_mat": ",".join(
                         str(x) for x in c2w.reshape(-1))}, f)
 
+    # occ_res=16: the production 128^3 grid is an ~87 s CPU build
+    # (forward SDF on 2M points); the occupancy path itself is covered
+    # at small res by tests/test_occupancy.py
     geo_small = ("batch_size=32,warm_up_end=2,save_freq=1000000000,"
-                 "val_freq=1000000000")
+                 "val_freq=1000000000,occ_res=16")
     main(["geo-train", scene, "--data-root", data_root,
           "--output-root", out_root, "--end-iter", "3",
           "--geo-override", geo_small, "--n-samples", "8"])

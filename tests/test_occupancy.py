@@ -217,8 +217,8 @@ def test_geo_override_routes_both_configs():
 
 def test_preset_defaults_fast_training_parity_extraction(tmp_path,
                                                          monkeypatch):
-    """Family presets default TRAINING to the occupancy 32+16 r2 sampler
-    (51k rays/s; the only swept config beating the reference on EVERY
+    """Family presets default TRAINING to the occupancy 24+16 r2 sampler
+    over a 128^3 grid (65k rays/s; beats the reference sampler on EVERY
     r3 guardrail scene) while gen-geo EXTRACTION keeps the
     reference-parity 64+64 r4 renderer; both stay one override away."""
     from types import SimpleNamespace
@@ -228,7 +228,7 @@ def test_preset_defaults_fast_training_parity_extraction(tmp_path,
 
     cfg, tcfg, _ = vcfg.neus_configs_for_scene("lego_3072")
     assert (cfg.n_samples, cfg.n_importance, cfg.up_sample_steps,
-            tcfg.occ_res) == (32, 16, 2, 64)
+            tcfg.occ_res) == (24, 16, 2, 128)
 
     args = SimpleNamespace(scene="lego_3072", geo_override="",
                            n_samples=0)
