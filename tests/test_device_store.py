@@ -125,6 +125,41 @@ def test_u8_store_quantizes_lvis_only():
                 np.testing.assert_array_equal(got, host[k], err_msg=k)
 
 
+def test_sharded_store_gather_matches_and_scales_memory():
+    views = [_view(s) for s in range(3)]
+    mesh = get_mesh()
+    n_dev = mesh.devices.size
+    assert n_dev == 8
+    store = DeviceViewStore(views, mesh=mesh, shard=True)
+    assert store.sharded
+    # per-device HBM is 1/n_dev of the store (plus row padding), not a
+    # replica: every key's shards tile the row axis disjointly
+    for k, a in store.arrays.items():
+        shards = a.addressable_shards
+        assert len(shards) == n_dev
+        rows_local = a.shape[0] // n_dev
+        assert all(s.data.shape[0] == rows_local for s in shards)
+        starts = sorted(s.index[0].start or 0 for s in shards)
+        assert starts == [i * rows_local for i in range(n_dev)]
+    # the collective gather is bit-identical to the host gather
+    for vi, view in enumerate(views):
+        pix = sample_pix(view, 16, np.random.RandomState(7 + vi))
+        host = outer_sample(view, 16, np.random.RandomState(7 + vi))
+        dev = store.gather(vi, pix)
+        n = pix.shape[0]
+        for k in host:
+            np.testing.assert_array_equal(
+                np.asarray(dev[k])[:n], host[k], err_msg=k)
+    # u8 composes with shard: lvis stays uint8 in every shard
+    import jax.numpy as jnp
+    store_q = DeviceViewStore(views, mesh=mesh, shard=True, quant=True)
+    assert store_q.arrays["lvis"].dtype == jnp.uint8
+    pix = sample_pix(views[0], 16, np.random.RandomState(3))
+    host = outer_sample(views[0], 16, np.random.RandomState(3))
+    got = np.asarray(store_q.gather(0, pix)["lvis"])[:pix.shape[0]]
+    np.testing.assert_allclose(got, host["lvis"], atol=0.5 / 255)
+
+
 def test_u8_mode_trains_and_auto_hints(tmp_path, capsys, monkeypatch):
     monkeypatch.setenv("VQNERF_NATIVE_SAMPLER", "0")
     views = [_view(s) for s in range(2)]
@@ -190,7 +225,8 @@ def test_training_trajectory_identical(tmp_path, trainer, monkeypatch):
 
     def run(mode, sub):
         dv, scan = {"off": ("off", False), "on": ("on", False),
-                    "scan": ("on", True)}[mode]
+                    "scan": ("on", True),
+                    "shard": ("shard", True)}[mode]
         cfg = dataclasses.replace(CFG, device_views=dv, epoch_scan=scan)
         out = str(tmp_path / (trainer + "_" + sub))
         if trainer == "nfr_unit":
@@ -216,8 +252,9 @@ def test_training_trajectory_identical(tmp_path, trainer, monkeypatch):
 
     p_off, h_off = run("off", "off")
     import jax
-    # host per-step == store per-step == store epoch-scan (one dispatch)
-    for mode in ("on", "scan"):
+    # host per-step == store per-step == store epoch-scan (one
+    # dispatch) == row-sharded store + collective gather
+    for mode in ("on", "scan", "shard"):
         p_m, h_m = run(mode, mode)
         np.testing.assert_allclose(h_m, h_off, rtol=0, atol=0,
                                    err_msg=mode)

@@ -48,9 +48,10 @@ _DEFAULT_BUDGET_BYTES = 4 << 30
 
 
 def store_nbytes(views, quant=False):
-    """Device bytes the store would need for these views (per device —
-    the store is replicated over the mesh). quant=True prices the
-    device_views='u8' layout (uint8 for _QUANT_KEYS, float32 rest)."""
+    """Device bytes the store would need for these views (per device
+    when replicated — device_views='shard' divides this by the mesh
+    size). quant=True prices the device_views='u8' layout (uint8 for
+    _QUANT_KEYS, float32 rest)."""
     total = 0
     for k in _KEYS:
         arr = getattr(views[0], k, None)
@@ -125,15 +126,76 @@ def _chunked_put(arr, sharding=None):
     return jnp.concatenate(parts, axis=0)
 
 
+def _sharded_put(arr, mesh):
+    """Stage [R, C] row-sharded over the mesh (each device holds
+    R/n_dev contiguous rows, NOT a replica). Each device's shard is
+    transferred with _chunked_put and the global array assembled with
+    make_array_from_single_device_arrays — no full-array host copy on
+    any device."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import RAY_AXIS
+    sh = NamedSharding(mesh, P(RAY_AXIS, None))
+    pieces = []
+    for dev, idx in sh.devices_indices_map(arr.shape).items():
+        piece = _chunked_put(
+            arr[idx[0]], sharding=jax.sharding.SingleDeviceSharding(dev))
+        pieces.append(piece)
+    return jax.make_array_from_single_device_arrays(arr.shape, sh, pieces)
+
+
+def _make_sharded_gather(mesh, row_stride, rows_local, keys):
+    """Collective row-gather from a row-sharded store (device_views=
+    'shard'): every device all-gathers the ray-sharded index vector,
+    gathers the requested rows it OWNS (zeros elsewhere), and a
+    reduce-scatter over the ray axis hands each device exactly its ray
+    shard of the batch — the classic sharded-embedding-lookup pattern,
+    riding ICI instead of replicating the store into every HBM. Exactly
+    one device contributes each row (+0.0 from the rest), so the result
+    equals the replicated gather bit for bit."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import RAY_AXIS
+
+    def local(arrays, vi, pix):
+        flat = vi * row_stride + pix                       # [n_loc]
+        flat_all = jax.lax.all_gather(flat, RAY_AXIS, tiled=True)  # [N]
+        start = jax.lax.axis_index(RAY_AXIS) * rows_local
+        loc = flat_all - start
+        valid = (loc >= 0) & (loc < rows_local)
+        loc = jnp.clip(loc, 0, rows_local - 1)
+        out = {}
+        for k, a in arrays.items():
+            rows = a[loc]
+            if rows.dtype == jnp.uint8:                    # u8-staged
+                rows = rows.astype(jnp.float32) * (1.0 / 255.0)
+            rows = jnp.where(valid[:, None], rows, 0.0)
+            out[k] = jax.lax.psum_scatter(
+                rows, RAY_AXIS, scatter_dimension=0, tiled=True)
+        return out
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=({k: P(RAY_AXIS, None) for k in keys}, P(),
+                  P(RAY_AXIS)),
+        out_specs={k: P(RAY_AXIS, None) for k in keys})
+
+
 class DeviceViewStore:
     """Views staged on device once; per-step gather by flat pixel index.
 
     gather(view_idx, pix) returns the same batch dict as
     data.sampler.outer_sample for the same indices. Under a >1-device
-    mesh the store is replicated and the gathered batch comes back
-    sharded over the ray axis (same layout shard_batch produces)."""
+    mesh the store is replicated (default) or row-sharded over the
+    mesh (shard=True: per-device HBM drops n_dev-fold and the gather
+    becomes an all-gather/reduce-scatter collective, still
+    bit-identical); either way the gathered batch comes back sharded
+    over the ray axis (same layout shard_batch produces)."""
 
-    def __init__(self, views, mesh=None, quant=False):
+    def __init__(self, views, mesh=None, quant=False, shard=False):
         import jax
         import jax.numpy as jnp
 
@@ -156,6 +218,8 @@ class DeviceViewStore:
         self.row_stride = n_pix + 1
         self._mesh = mesh if (mesh is not None
                               and mesh.devices.size > 1) else None
+        # 'shard' only differs from 'on' under a >1-device mesh
+        self.sharded = bool(shard) and self._mesh is not None
 
         stacked = {}
         for k in self.keys:
@@ -172,16 +236,37 @@ class DeviceViewStore:
                     .astype(np.uint8)
             stacked[k] = arr
         logger.info(
-            "[device-views] staging %d views (%.0f MB%s) on device",
+            "[device-views] staging %d views (%.0f MB%s%s) on device",
             self.n_views, store_nbytes(views, quant=self.quant) / 2**20,
-            ", lvis quantized to u8" if self.quant else "")
+            ", lvis quantized to u8" if self.quant else "",
+            ", row-sharded over %d devices"
+            % (self._mesh.devices.size if self.sharded else 1)
+            if self.sharded else "")
 
-        if self._mesh is not None:
+        if self.sharded:
+            from ..parallel.mesh import batch_sharding
+            n_dev = self._mesh.devices.size
+            n_rows = self.n_views * self.row_stride
+            rows_pad = (-n_rows) % n_dev  # zero rows; never indexed
+            if rows_pad:
+                stacked = {
+                    k: np.concatenate(
+                        [v, np.zeros((rows_pad, v.shape[-1]), v.dtype)])
+                    for k, v in stacked.items()}
+            self._arrays = {k: _sharded_put(v, self._mesh)
+                            for k, v in stacked.items()}
+            self._gather_in_jit = _make_sharded_gather(
+                self._mesh, self.row_stride,
+                (n_rows + rows_pad) // n_dev, self.keys)
+            self._pix_sharding = batch_sharding(self._mesh)
+            self._gather = jax.jit(self._gather_in_jit)
+        elif self._mesh is not None:
             from ..parallel.mesh import batch_sharding, replicate
             rep = replicate(self._mesh)
             self._arrays = {
                 k: _chunked_put(v, sharding=rep)
                 for k, v in stacked.items()}
+            self._gather_in_jit = self._gather_impl
             self._pix_sharding = batch_sharding(self._mesh)
             out_sh = {k: self._pix_sharding for k in self.keys}
             self._gather = jax.jit(self._gather_impl,
@@ -189,14 +274,24 @@ class DeviceViewStore:
         else:
             self._arrays = {k: _chunked_put(v)
                             for k, v in stacked.items()}
+            self._gather_in_jit = self._gather_impl
             self._pix_sharding = None
             self._gather = jax.jit(self._gather_impl)
 
     @property
     def arrays(self):
         """Device-resident {key: [V*(HW+1), C]} dict (for the scanned
-        epoch runners, which gather inside lax.scan via gather_rows)."""
+        epoch runners, which gather inside lax.scan via gather_in_jit).
+        Row-sharded over the mesh when self.sharded, else replicated."""
         return self._arrays
+
+    @property
+    def gather_in_jit(self):
+        """(arrays, view_idx, pix) -> batch dict; safe inside a jitted
+        scan body. Replicated stores: the flat row-gather. Sharded
+        stores: the shard_map collective gather (all-gather indices,
+        owner-gathers rows, reduce-scatter over the ray axis)."""
+        return self._gather_in_jit
 
     @staticmethod
     def gather_rows(arrays, view_idx, pix, row_stride):
@@ -236,19 +331,19 @@ class DeviceViewStore:
 _STORE_CACHE = []  # [(view_ids, views_ref, mesh_key, store)], max 2
 
 
-def get_store(views, mesh=None, quant=False):
+def get_store(views, mesh=None, quant=False, shard=False):
     """DeviceViewStore for these views, cached by view identity: the
     nfr_unit and vq_nfr phases train on the SAME view list, so a full
     pipeline run must not re-upload the multi-GB store per phase. The
     cache keeps a strong reference to the views so ids cannot be
     recycled; 2 entries cover a pipeline (train list + with_ref list)."""
-    key = (tuple(id(v) for v in views), bool(quant))
+    key = (tuple(id(v) for v in views), bool(quant), bool(shard))
     mesh_key = (None if mesh is None
                 else tuple(d.id for d in mesh.devices.flat))
     for ids, _ref, mk, store in _STORE_CACHE:
         if ids == key and mk == mesh_key:
             return store
-    store = DeviceViewStore(views, mesh=mesh, quant=quant)
+    store = DeviceViewStore(views, mesh=mesh, quant=quant, shard=shard)
     _STORE_CACHE.append((key, views, mesh_key, store))
     del _STORE_CACHE[:-2]
     return store

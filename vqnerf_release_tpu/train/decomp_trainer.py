@@ -173,27 +173,28 @@ def make_ref_nfr_step(cfg: dc.DecompConfig, lxyz, lareas):
     return tx, step_fn
 
 
-def make_plain_epoch_scan(step_fn, row_stride, donate=(0, 1)):
+def make_plain_epoch_scan(step_fn, store, donate=(0, 1)):
     """Scan a whole epoch of nfr_unit/ref_nfr steps in ONE dispatch.
 
     Batches are gathered inside the scan body from a device-resident
-    view store (data/device_store.py): per epoch the host ships only
-    [K, 2n] ray indices, and the K steps run as one XLA program — no
-    per-step python dispatch (which costs 3-10 ms each through the axon
-    tunnel and dominates the ~2 ms step). step_fn is the SAME jitted
-    step the per-step path uses; jit-of-jit inlines it, so the math is
-    identical by construction (equality asserted through full training
-    runs in tests/test_device_store.py)."""
+    view store (data/device_store.py, store.gather_in_jit — the flat
+    row-gather for replicated stores, the shard_map collective gather
+    for row-sharded ones): per epoch the host ships only [K, 2n] ray
+    indices, and the K steps run as one XLA program — no per-step
+    python dispatch (which costs 3-10 ms each through the axon tunnel
+    and dominates the ~2 ms step). step_fn is the SAME jitted step the
+    per-step path uses; jit-of-jit inlines it, so the math is identical
+    by construction (equality asserted through full training runs in
+    tests/test_device_store.py)."""
 
-    from ..data.device_store import DeviceViewStore
+    gather = store.gather_in_jit
 
     @partial(jax.jit, donate_argnums=donate)
     def run(params, opt_state, arrays, vi_vec, pix_mat, steps_vec):
         def body(carry, x):
             p, o = carry
             vi, pix, stepf = x
-            batch = DeviceViewStore.gather_rows(
-                arrays, vi, pix, row_stride)
+            batch = gather(arrays, vi, pix)
             p, o, ld = step_fn(p, o, batch, stepf)
             return (p, o), ld
         (params, opt_state), lds = jax.lax.scan(
@@ -203,10 +204,11 @@ def make_plain_epoch_scan(step_fn, row_stride, donate=(0, 1)):
     return run
 
 
-def make_vq_epoch_scan(step_fn, row_stride):
+def make_vq_epoch_scan(step_fn, store):
     """Epoch scan for the vq_nfr step (threads EMA state and the
     pre-split per-step rng keys; see make_plain_epoch_scan)."""
-    from ..data.device_store import DeviceViewStore
+
+    gather = store.gather_in_jit
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def run(params, ema_state, opt_state, arrays, thres, vi_vec,
@@ -214,8 +216,7 @@ def make_vq_epoch_scan(step_fn, row_stride):
         def body(carry, x):
             p, e, o = carry
             vi, pix, key, stepf = x
-            batch = DeviceViewStore.gather_rows(
-                arrays, vi, pix, row_stride)
+            batch = gather(arrays, vi, pix)
             p, e, o, ld = step_fn(p, e, o, batch, thres, key, stepf)
             return (p, e, o), ld
         (params, ema_state, opt_state), lds = jax.lax.scan(

@@ -102,28 +102,32 @@ def outer_sample(view, n_rays, rng, jitter_mode="random", alpha_thres=0.9):
 def _make_batch_source(train_views, cfg, jitter_mode):
     """Per-epoch training batch generator factory.
 
-    Resolves cfg.device_views ('auto'/'on'/'u8'/'off'): when the views
-    fit the device-memory budget they are staged once on device and each
-    step ships only sample_view_pix indices (data/device_store.py);
-    otherwise every batch is host-gathered and device_put (the
-    reference's tf.data streaming model, trainvali.py:108-122). 'u8'
-    stages the lvis buffer quantized to uint8 (±1/510 per value, ~4x
-    smaller store) — an explicit opt-in because batches are then no
-    longer bit-identical to the host path; 'auto' never quantizes
-    silently, it only prints the hint when u8 would have fit.
+    Resolves cfg.device_views ('auto'/'on'/'u8'/'shard'/'off'): when
+    the views fit the device-memory budget they are staged once on
+    device and each step ships only sample_view_pix indices
+    (data/device_store.py); otherwise every batch is host-gathered and
+    device_put (the reference's tf.data streaming model,
+    trainvali.py:108-122). 'u8' stages the lvis buffer quantized to
+    uint8 (±1/510 per value, ~4x smaller store) — an explicit opt-in
+    because batches are then no longer bit-identical to the host path;
+    'auto' never quantizes silently, it only prints the hint when u8
+    would have fit. 'shard' row-shards the store over the mesh instead
+    of replicating it (per-device bytes drop n_dev-fold; the gather
+    becomes an all-gather/reduce-scatter collective, bit-identical).
 
     Returns (epoch_batches, store); store is None on the host path."""
     mode = getattr(cfg, "device_views", "off") or "off"
-    if mode not in ("auto", "on", "u8", "off"):
-        raise ValueError("device_views must be 'auto', 'on', 'u8' or "
-                         "'off', got %r" % mode)
+    if mode not in ("auto", "on", "u8", "shard", "off"):
+        raise ValueError("device_views must be 'auto', 'on', 'u8', "
+                         "'shard' or 'off', got %r" % mode)
     store = None
     if train_views and mode != "off":
         from ..data.device_store import (fits_device_memory, get_store,
                                          views_compatible)
-        if mode in ("on", "u8"):
+        if mode in ("on", "u8", "shard"):
             store = get_store(train_views, mesh=_get_mesh(),
-                              quant=(mode == "u8"))
+                              quant=(mode == "u8"),
+                              shard=(mode == "shard"))
         elif not views_compatible(train_views):
             print("[vqnerf-tpu] device_views=auto: heterogeneous views; "
                   "using the host-gather path")
@@ -418,7 +422,7 @@ def train_nfr_unit(cfg: dc.DecompConfig, train_views, vali_views, outdir,
                                                   jitter_mode)
     else:
         epoch_batches = store = None
-    run_epoch = (dt.make_plain_epoch_scan(step_fn, store.row_stride)
+    run_epoch = (dt.make_plain_epoch_scan(step_fn, store)
                  if _resolve_epoch_scan(cfg, store) else None)
     pending_xs = None
     for epoch in range(start_epoch, epochs):
@@ -557,7 +561,7 @@ def train_vq_nfr(cfg: dc.DecompConfig, nfr_params, train_views, vali_views,
                                                   "random")
     else:
         epoch_batches = store = None
-    run_epoch = (dt.make_vq_epoch_scan(step_fn, store.row_stride)
+    run_epoch = (dt.make_vq_epoch_scan(step_fn, store)
                  if _resolve_epoch_scan(cfg, store) else None)
 
     def _vq_xs(step0):
@@ -725,7 +729,7 @@ def train_ref_nfr(cfg: dc.DecompConfig, vq_params, light, train_views,
     else:
         epoch_batches = store = None
     # donate only opt_state: params carry the frozen subtree
-    run_epoch = (dt.make_plain_epoch_scan(step_fn, store.row_stride,
+    run_epoch = (dt.make_plain_epoch_scan(step_fn, store,
                                           donate=(1,))
                  if _resolve_epoch_scan(cfg, store) else None)
     pending_xs = None
