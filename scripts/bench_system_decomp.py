@@ -60,9 +60,12 @@ def run_mode(mode, views, args, root):
     from vqnerf_release_tpu.train import loop
 
     # off = host-gather path; on = resident views, per-step gather;
-    # scan = resident views + one lax.scan dispatch per epoch
+    # scan = resident views + one lax.scan dispatch per epoch;
+    # u8 = scan with uint8-quantized lvis (~4x smaller store);
+    # shard = scan with the store row-sharded over the mesh
     dv, scan = {"off": ("off", False), "on": ("on", False),
-                "scan": ("on", True)}[mode]
+                "scan": ("on", True), "u8": ("u8", True),
+                "shard": ("shard", True)}[mode]
     # production step shape (DecompConfig defaults: z 256, 15 codes,
     # 512 lights, 1024 jitter pairs); epochs < 30 so cfg.epochs keeps
     # the 30-epoch vali period out of the timed window
@@ -96,8 +99,9 @@ def main():
     ap.add_argument("--light-h", type=int, default=16)
     ap.add_argument("--epochs", type=int, default=8)
     ap.add_argument("--modes", default="off,on,scan",
-                    help="comma list of off|on|scan (host-gather / "
-                         "resident per-step / resident scanned-epoch)")
+                    help="comma list of off|on|scan|u8|shard "
+                         "(host-gather / resident per-step / resident "
+                         "scanned-epoch / + u8 lvis / + row-sharded)")
     args = ap.parse_args()
 
     cfg_lights = 2 * args.light_h * args.light_h

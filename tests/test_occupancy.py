@@ -60,6 +60,19 @@ def test_build_occ_grid_matches_dense_sdf(sphere_sdf):
     assert grid[r > r0 + 0.4].sum() == 0  # far field empty
 
 
+def test_build_occ_grid_chunked_matches_flat(sphere_sdf, monkeypatch):
+    """res >= _CHUNKED_BUILD_RES sweeps in z-slabs (the flat sweep's
+    peak temp would exceed HBM at 256^3); values must be identical."""
+    from vqnerf_release_tpu.ops import occupancy as occ
+    params, cfg = sphere_sdf
+    flat = np.asarray(build_occ_grid(params["sdf"], cfg.sdf, radius=1.0,
+                                     res=32))
+    monkeypatch.setattr(occ, "_CHUNKED_BUILD_RES", 32)
+    chunked = np.asarray(occ.build_occ_grid(
+        params["sdf"], cfg.sdf, radius=1.0, res=32))
+    np.testing.assert_array_equal(flat, chunked)
+
+
 def test_ray_bin_occupancy_hits_shell(sphere_sdf):
     params, cfg = sphere_sdf
     grid = build_occ_grid(params["sdf"], cfg.sdf, radius=1.0, res=32,

@@ -31,16 +31,23 @@ from .sampling import sample_pdf
 __all__ = ["build_occ_grid", "ray_bin_occupancy", "ray_occupied_span",
            "sample_z_occ"]
 
+# Flat-sweep peak temp is res^3 x 256 floats; chunk into z-slabs from
+# here up (17 GB at 256^3 would not fit HBM).
+_CHUNKED_BUILD_RES = 256
+
 
 def build_occ_grid(sdf_params, sdf_cfg, radius, res=64, margin_factor=3.0):
     """Occupancy over the [-radius, radius]^3 cube: [res, res, res]
     float32 in {0, 1}, cell occupied iff |SDF(center)| < margin.
 
     One flat forward sweep (res^3 x 8x256 MLP, forward-only — peak temp
-    ~res^3 x 256 floats, 268 MB at res 64): a lax.map-chunked variant
-    measured 3x SLOWER to compile on the tunnel TPU (377 s vs 122 s)
-    with identical steady-state, so chunking was removed. The compile is
-    once per process and amortizes over occ_update_freq-step rebuilds.
+    ~res^3 x 256 floats, 268 MB at res 64, 2.1 GB at 128): a
+    lax.map-chunked variant measured 3x SLOWER to compile on the tunnel
+    TPU (377 s vs 122 s) with identical steady-state, so chunking was
+    removed below res 256. The compile is once per process and
+    amortizes over occ_update_freq-step rebuilds. At res >= 256 the
+    flat sweep's peak temp (17 GB) exceeds HBM, so the sweep chunks
+    into res z-slabs via lax.map there (identical values).
     """
     from ..models import fields
 
@@ -52,7 +59,13 @@ def build_occ_grid(sdf_params, sdf_cfg, radius, res=64, margin_factor=3.0):
     cell_diag = 2.0 * radius / res * np.sqrt(3.0)
     margin = margin_factor * cell_diag / 2.0
 
-    sdf = fields.sdf_only(sdf_params, pts, sdf_cfg)  # [res^3]
+    if res >= _CHUNKED_BUILD_RES:
+        slabs = pts.reshape(res, res * res, 3)
+        sdf = jax.lax.map(
+            lambda p: fields.sdf_only(sdf_params, p, sdf_cfg),
+            slabs).reshape(-1)
+    else:
+        sdf = fields.sdf_only(sdf_params, pts, sdf_cfg)  # [res^3]
     return (jnp.abs(sdf) < margin).astype(jnp.float32).reshape(
         res, res, res)
 
