@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--vis-sampler", default=None,
                     help="also validate a reduced occlusion sampler "
                          "(e.g. 32+16r2) against the parity full path")
+    ap.add_argument("--occluded", action="store_true",
+                    help="also validate the occluded-ray certificate "
+                         "(--fast-vis-occluded) against the full path")
     args = ap.parse_args()
 
     import importlib.util
@@ -105,8 +108,8 @@ def main():
         if pad:
             s = np.pad(s, ((0, pad), (0, 0)), constant_values=0.5)
             nn = np.pad(nn, ((0, pad), (0, 0)), constant_values=1.0)
-        a, b, c = ex._coarse_batch(ex.params, jnp.asarray(s),
-                                   jnp.asarray(nn))
+        a, b, c, _ = ex._coarse_batch(ex.params, jnp.asarray(s),
+                                      jnp.asarray(nn))
         end = min(i + bs, n_fg) - i
         ms[i:i + end] = np.asarray(a)[:end]
         sp[i:i + end] = np.asarray(b)[:end]
@@ -130,6 +133,36 @@ def main():
         print(f"certified rays: {cert.sum()} "
               f"(full-path vis on them: min {v.min():.4f}, "
               f"frac < 0.99: {(v < 0.99).mean():.6f})")
+
+    if args.occluded:
+        # occluded-certificate validation: fast-vis with BOTH
+        # certificates (free + provably-occluded interior chords) vs
+        # the parity full path — the occluded rays must read ~0 under
+        # the full render too
+        ex3 = GeoExtractor(runner.params, cfg, ds,
+                           join(args.root, "surf3"),
+                           use_white_bkgd=True, batch_size=4096,
+                           light_h=args.light_h, vis_point_batch=64,
+                           fast_vis=True, fast_vis_factor=args.factor,
+                           fast_vis_occluded=True,
+                           vis_sampler="64+64r4")
+        _ = ex3._lvis_fast(surf_fg[:64], normal_fg[:64])  # warm
+        t0 = time.time()
+        lv_occl = ex3._lvis_fast(surf_fg, normal_fg)
+        t_occl = time.time() - t0
+        st = ex3.last_fast_vis_stats
+        d3 = np.abs(lv_full - lv_occl)
+        print(f"fast+occluded: occluded-certified "
+              f"{st['occluded_certified_rays']} rays "
+              f"({st['occluded_certified_rays']/max(st['front_lit_rays'],1):.3f} "
+              f"of front-lit), uncertain {st['uncertain_rays']} "
+              f"(was {int(uncertain.sum())} without)")
+        print(f"fast+occluded vs parity: max |dlvis| {d3.max():.4f}, "
+              f"mean {d3.mean():.6f}, "
+              f"frac > 0.01: {(d3 > 0.01).mean():.5f}, "
+              f"frac > 0.05: {(d3 > 0.05).mean():.6f}; "
+              f"wall {t_occl:.1f}s -> {t_full / t_occl:.2f}x "
+              f"(fast-only was {t_full / t_fast:.2f}x)")
 
     if args.vis_sampler:
         # reduced occlusion sampler vs the parity full path: plain,

@@ -275,8 +275,8 @@ def test_fast_vis_matches_full(tmp_path):
                    constant_values=0.5)
         nn = np.pad(normal[i:i+bs], ((0, max(0, bs-(n-i))), (0, 0)),
                     constant_values=1.0)
-        a, b, c = ex_fast._coarse_batch(params, jnp.asarray(s),
-                                        jnp.asarray(nn))
+        a, b, c, _ = ex_fast._coarse_batch(params, jnp.asarray(s),
+                                           jnp.asarray(nn))
         end = min(i+bs, n) - i
         ms[i:i+end], sp[i:i+end], fl[i:i+end] = (
             np.asarray(a)[:end], np.asarray(b)[:end], np.asarray(c)[:end])
@@ -284,6 +284,56 @@ def test_fast_vis_matches_full(tmp_path):
     assert certified.sum() > 0, "coarse pass certified nothing"
     # certified rays really are free under the full render
     np.testing.assert_allclose(full[certified], 1.0, atol=0.05)
+
+
+def test_fast_vis_occluded_certificate(tmp_path):
+    """--fast-vis-occluded: a provably-interior chord (two consecutive
+    coarse samples <= -max(margin, 10/s)) certifies lvis=0 without the
+    fine render; must agree with the full path. Probe points are
+    placed on a light ray's far side of the init sphere so that the
+    shadow ray toward that light runs THROUGH the sphere — a deep,
+    certifiable chord."""
+    import jax.numpy as jnp
+    root = str(tmp_path)
+    _make_stage1_scene(root)
+    ds = NerfSceneDataset(root, is_train=True, near=0.5, far=3.5)
+    cfg = NeuSConfig(n_samples=8, n_importance=8, up_sample_steps=2,
+                     perturb=0.0)
+    params = init_neus(0, cfg)  # geometric init: ~sphere of radius 0.5
+    # sharpen the logistic density (trained scenes have large inv_s =
+    # exp(10 v)) so 10/s is well inside the sphere's |sdf| range, and
+    # use a dense coarse sweep (n_coarse=48) so the spacing margin sits
+    # below the damped untrained-SDF chord depth (~0.18)
+    params = dict(params)
+    params["variance"] = {"variance": jnp.asarray(0.6, jnp.float32)}
+
+    mk = lambda **kw: GeoExtractor(
+        params, cfg, ds, os.path.join(root, "surf"), light_h=4,
+        vis_point_batch=8, fast_vis=True, fast_vis_factor=2.0,
+        n_coarse=48, **kw)
+    ex_plain, ex_occl = mk(), mk(fast_vis_occluded=True)
+
+    # probe = just behind the sphere along the ray to light #8, facing
+    # the light: the lat-long grid has no axis-aligned directions, so
+    # derive the through-center ray from the grid itself
+    lx = np.asarray(ex_plain.lxyz)
+    u = (lx[8] / np.linalg.norm(lx[8])).astype(np.float32)
+    n = 8
+    surf = np.tile((-0.9 * u)[None], (n, 1))
+    surf += np.random.RandomState(0).randn(n, 3).astype(np.float32) * 0.01
+    normal = np.tile(u[None], (n, 1))
+
+    full = ex_plain._lvis_full(surf, normal)
+    fast = ex_occl._lvis_fast(surf, normal)
+    st = ex_occl.last_fast_vis_stats
+    assert st["occluded_certified_rays"] > 0, \
+        "no ray hit the occluded certificate"
+    np.testing.assert_allclose(fast, full, atol=0.05)
+    # certified-occluded rays really are ~0 under the full render, and
+    # the certificate shrank the expensive uncertain set
+    assert ex_plain._lvis_fast(surf, normal) is not None
+    assert st["uncertain_rays"] < \
+        ex_plain.last_fast_vis_stats["uncertain_rays"]
 
 
 def test_compose_view_shard():

@@ -170,6 +170,8 @@ def cmd_gen_geo(args):
                           use_white_bkgd=tcfg.use_white_bkgd,
                           fast_vis=fast_vis,
                           fast_vis_factor=args.fast_vis_factor,
+                          fast_vis_occluded=getattr(
+                              args, "fast_vis_occluded", False),
                           use_pallas=getattr(args, "pallas", False),
                           mesh=mesh,
                           vis_sampler=getattr(args, "vis_sampler", None),
@@ -631,6 +633,13 @@ def main(argv=None):
     p.add_argument("--fast-vis-factor", type=float, default=2.0,
                    help="safety factor on the coarse certification "
                         "margin (>= 1; higher = more conservative)")
+    p.add_argument("--fast-vis-occluded", action="store_true",
+                   help="also certify provably-OCCLUDED shadow rays "
+                        "from the coarse sweep (an interior chord of "
+                        "two consecutive samples <= -max(margin, 10/s) "
+                        "forces transmittance < 5e-5): lvis=0 without "
+                        "the fine render; validate with "
+                        "scripts/validate_fastvis.py --occluded")
     p.add_argument("--devices", default=None,
                    help="'all' or a device count: shard the ray axis of "
                         "each view's render over a device mesh (replaces "

@@ -65,6 +65,7 @@ class GeoExtractor:
                  vis_point_batch=64, alpha_thres_val=0.5,
                  light_tile=None, use_pallas=False, mesh=None,
                  fast_vis=False, fast_vis_factor=2.0, n_coarse=16,
+                 fast_vis_occluded=False,
                  vis_sampler=None, occ_vis=False,
                  occ_vis_res=64, occ_vis_margin=2.0,
                  span_vis=False, span_bins=32, span_pad=1):
@@ -84,6 +85,10 @@ class GeoExtractor:
         self.fast_vis = fast_vis
         self.fast_vis_factor = fast_vis_factor
         self.n_coarse = n_coarse
+        # opt-in second certificate: rays whose coarse sweep finds a
+        # provably-interior chord (two consecutive samples <= -c,
+        # c = max(margin, 10/s)) are set lvis=0 without the fine render
+        self.fast_vis_occluded = fast_vis_occluded
         # Occlusion-render sampler for the lvis shadow pass. The default
         # is the geometry render's own config (reference parity,
         # gen_geo.py:231-238); a reduced sampler like "32+16r2" is a
@@ -226,8 +231,8 @@ class GeoExtractor:
 
         @jax.jit
         def _coarse_batch(params, surf, normal):
-            """[B] points x all L lights -> (min_sdf, spacing, front_lit),
-            each [B, L]."""
+            """[B] points x all L lights -> (min_sdf, spacing,
+            front_lit, deep_occluded), each [B, L]."""
             b = surf.shape[0]
             surf2l = self.lxyz[None, :, :] - surf[:, None, :]
             surf2l = surf2l / jnp.linalg.norm(surf2l, axis=-1,
@@ -241,6 +246,8 @@ class GeoExtractor:
                 1, 0, 2, 3).reshape(n_tiles, b * tile, 3)
             o_rep = jnp.repeat(surf, tile, axis=0)
 
+            inv_s = _fields.inv_s_from(params["variance"])
+
             def body(_, d_chunk):
                 far = intersect_sphere_far(o_rep, d_chunk, self.radius)
                 near = jnp.minimum(jnp.full_like(far, 0.1), far / 2.0)
@@ -251,13 +258,24 @@ class GeoExtractor:
                     params["sdf"], pts.reshape(-1, 3), cfg.sdf
                 ).reshape(o_rep.shape[0], n_coarse)
                 spac = (far - near)[:, 0] / (n_coarse - 1)
+                # occluded certificate: TWO consecutive samples at or
+                # below -c mean (unit-gradient x factor slack) the whole
+                # interval between them is interior, and c >= 10/s makes
+                # the full render's transmittance through it < 5e-5 —
+                # such rays are provably lvis ~ 0 (see _lvis_fast)
+                c = jnp.maximum(0.5 * self.fast_vis_factor * spac,
+                                10.0 / inv_s)[:, None]
+                below = sdf <= -c
+                deep = jnp.any(below[:, :-1] & below[:, 1:], axis=1)
                 return None, (jnp.min(sdf, axis=1).reshape(b, tile),
-                              spac.reshape(b, tile))
+                              spac.reshape(b, tile),
+                              deep.astype(jnp.float32).reshape(b, tile))
 
-            _, (ms, sp) = jax.lax.scan(body, None, d_tiles)
+            _, (ms, sp, dp) = jax.lax.scan(body, None, d_tiles)
             ms = ms.transpose(1, 0, 2).reshape(b, self.n_lights)
             sp = sp.transpose(1, 0, 2).reshape(b, self.n_lights)
-            return ms, sp, front_lit
+            dp = dp.transpose(1, 0, 2).reshape(b, self.n_lights)
+            return ms, sp, front_lit, dp
 
         from ..models.neus import neus_occlusion
 
@@ -411,6 +429,7 @@ class GeoExtractor:
         min_sdf = np.zeros((n_fg, L), np.float32)
         spacing = np.zeros((n_fg, L), np.float32)
         front = np.zeros((n_fg, L), np.float32)
+        deep = np.zeros((n_fg, L), np.float32)
         for i in range(0, n_fg, bs):
             s = surf_fg[i : i + bs]
             nn = normal_fg[i : i + bs]
@@ -418,16 +437,21 @@ class GeoExtractor:
             if pad:
                 s = np.pad(s, ((0, pad), (0, 0)), constant_values=0.5)
                 nn = np.pad(nn, ((0, pad), (0, 0)), constant_values=1.0)
-            ms, sp, fl = self._coarse_batch(
+            ms, sp, fl, dp = self._coarse_batch(
                 self.params, jnp.asarray(s), jnp.asarray(nn))
             end = min(i + bs, n_fg) - i
             min_sdf[i : i + end] = np.asarray(ms)[:end]
             spacing[i : i + end] = np.asarray(sp)[:end]
             front[i : i + end] = np.asarray(fl)[:end]
+            deep[i : i + end] = np.asarray(dp)[:end]
 
         margin = 0.5 * self.fast_vis_factor * spacing
-        uncertain = (front > 0) & (min_sdf < margin)
+        occluded = ((front > 0) & (deep > 0)
+                    if self.fast_vis_occluded
+                    else np.zeros_like(front, bool))
+        uncertain = (front > 0) & (min_sdf < margin) & ~occluded
         occu = np.zeros(n_fg * L, np.float32)
+        occu[occluded.ravel()] = 1.0  # provably-occluded: lvis = 0
         u_idx = np.nonzero(uncertain.ravel())[0]
 
         # Certification-rate observability: the coarse certificate trusts
@@ -438,6 +462,7 @@ class GeoExtractor:
         self.last_fast_vis_stats = {
             "front_lit_rays": n_front,
             "uncertain_rays": int(u_idx.shape[0]),
+            "occluded_certified_rays": int(occluded.sum()),
             "certified_frac": 1.0 - u_idx.shape[0] / max(n_front, 1),
         }
 
