@@ -35,7 +35,13 @@ def main():
     ap.add_argument("--occluded", action="store_true",
                     help="also validate the occluded-ray certificate "
                          "(--fast-vis-occluded) against the full path")
+    ap.add_argument("--shape", default="sphere",
+                    help="smoke scene geometry (sphere/torus/plate/"
+                         "blobs); concave/multi-body shapes exercise "
+                         "the occluded certificate, a sphere cannot")
     args = ap.parse_args()
+    if args.shape != "sphere" and args.root == "/tmp/vqnerf_fastvis":
+        args.root = "/tmp/vqnerf_fastvis_" + args.shape
 
     import importlib.util
     spec = importlib.util.spec_from_file_location(
@@ -52,7 +58,7 @@ def main():
 
     scene_dir = join(args.root, "scene")
     os.makedirs(scene_dir, exist_ok=True)
-    make_scene(scene_dir, h=args.imh, w=args.imh)
+    make_scene(scene_dir, h=args.imh, w=args.imh, shape=args.shape)
 
     ds = NerfSceneDataset(scene_dir, is_train=True, near=1.2, far=3.5)
     cfg = NeuSConfig(n_samples=32, n_importance=16, up_sample_steps=2)
