@@ -132,6 +132,122 @@ def test_metric_eval_scene(tmp_path):
     assert "env" not in m2
 
 
+def _load_reference_cluster_eval():
+    """Exec the function portion of the reference cluster_eval.py
+    (/root/reference/decomp/nerfvq_nfr3/cluster_eval.py:1-125) under
+    import shims: the pre-0.23 sklearn module paths it star-imports,
+    a minimal xiuminglib stub (only img.normalize_uint is used), and
+    the removed np.int alias. The module-level driver loop (:127-146)
+    is cut; everything above — palettes, norm_read, img_embed, purity,
+    resort, correspond, process_scene — is the reference's own code."""
+    import sys
+    import types
+
+    from sklearn.metrics import cluster as skcluster
+
+    path = "/root/reference/decomp/nerfvq_nfr3/cluster_eval.py"
+    src = open(path).read()
+    src = src[: src.index("avg_score = init_dict()")]
+
+    shims = {}
+    for old, new in (("sklearn.metrics.cluster.supervised",
+                      skcluster._supervised),
+                     ("sklearn.metrics.cluster.unsupervised",
+                      skcluster._unsupervised)):
+        mod = types.ModuleType(old)
+        mod.__dict__.update(
+            {k: v for k, v in new.__dict__.items()
+             if not k.startswith("_")})
+        shims[old] = mod
+    xm = types.SimpleNamespace(img=types.SimpleNamespace(
+        normalize_uint=lambda a: a.astype(float) / np.iinfo(a.dtype).max))
+    tp_x = types.ModuleType("third_party.xiuminglib")
+    tp_x.xiuminglib = xm
+    tp = types.ModuleType("third_party")
+    tp.xiuminglib = tp_x
+    shims["third_party"] = tp
+    shims["third_party.xiuminglib"] = tp_x
+
+    saved = {k: sys.modules.get(k) for k in shims}
+    sys.modules.update(shims)
+    try:
+        ns = {}
+        exec(compile(src, path, "exec"), ns)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+    return ns
+
+
+def test_cluster_eval_reference_parity(tmp_path, monkeypatch):
+    """Run the REAL reference process_scene (and its helpers) on a
+    synthetic imperfect segmentation tree vs our
+    eval_scene_segmentation on the same files: all five scores must
+    match exactly (cluster_eval.py:86-124)."""
+    import cv2
+
+    # the removed np.int alias, used by the reference's img_embed;
+    # scoped to this test so nothing else sees it
+    monkeypatch.setattr(np, "int", int, raising=False)
+    ref = _load_reference_cluster_eval()
+    rs = np.random.RandomState(7)
+
+    # function-level parity on random label vectors
+    for _ in range(20):
+        gt = rs.randint(0, 4, 200) * 3 + 1  # non-contiguous labels
+        pd = rs.randint(0, 5, 200) * 7
+        coo_r, map_r, gt_r, pd_r = ref["correspond"](gt, pd)
+        coo_o, map_o, gt_o, pd_o = correspond(gt, pd)
+        np.testing.assert_array_equal(coo_r, coo_o)
+        np.testing.assert_array_equal(map_r, map_o)
+        np.testing.assert_array_equal(pd_r, pd_o)
+        assert ref["purity"](coo_r) == purity(coo_o)
+    arr = np.array(SEL_COLORS)[rs.randint(0, 21, 300)]
+    arr[rs.rand(300) < 0.2] = 13  # unlabeled pixels -> id 0
+    np.testing.assert_array_equal(
+        ref["img_embed"](arr, ref["sel_colors"]), img_embed(arr, SEL_COLORS))
+
+    # scene-level parity: the reference path conventions
+    # (pred_root/<scene>_ref_nfr/lr5e-4/pd_vq/ckpt-5/batchNNNNNNNNN)
+    scene, n_vals, h, w = "lego_3072", 2, 12, 12
+    rgba_scene = tmp_path / "vis_comps" / scene
+    gt_scene = tmp_path / "nerf_seg1" / scene
+    pd_scene = (tmp_path / "train" / (scene + "_ref_nfr") / "lr5e-4"
+                / "pd_vq" / "ckpt-5")
+    for i in range(n_vals):
+        vdir = rgba_scene / ("val_%03d" % i)
+        gdir = gt_scene / ("val_%03d" % i)
+        pdir = pd_scene / ("batch%09d" % i)
+        for d in (vdir, gdir, pdir):
+            os.makedirs(d)
+        rgba = np.zeros((h, w, 4), np.uint8)
+        rgba[..., 3] = np.where(rs.rand(h, w) < 0.8, 255, 0)
+        cv2.imwrite(str(vdir / "rgba.png"), rgba)
+        gt = np.array(SEL_COLORS, np.uint8)[rs.randint(0, 3, (h, w))]
+        cv2.imwrite(str(gdir / "idx.png"), gt[..., ::-1])
+        # imperfect prediction: mostly follows gt, 20% scrambled
+        ids = img_embed(gt.reshape(-1, 3), SEL_COLORS).reshape(h, w)
+        flip = rs.rand(h, w) < 0.2
+        ids = np.where(flip, rs.randint(1, 5, (h, w)), ids + 1)
+        pd_img = np.array(EMBED_C, np.uint8)[ids % len(EMBED_C)]
+        cv2.imwrite(str(pdir / "embed_map.png"), pd_img[..., ::-1])
+
+    ref["data_root"] = str(tmp_path / "vis_comps")
+    ref["label_root"] = str(tmp_path / "nerf_seg1")
+    ref["pred_root"] = str(tmp_path / "train")
+    ref["n_vals"] = n_vals
+    theirs = ref["process_scene"](scene)
+    ours = eval_scene_segmentation(
+        str(rgba_scene), str(gt_scene), str(pd_scene), n_vals=n_vals)
+    for k in ("purity", "f1-micro", "f1-macro", "p-macro", "r-macro"):
+        assert np.isclose(theirs[k], ours[k], rtol=0, atol=0), (
+            k, theirs[k], ours[k])
+    assert 0.5 < ours["purity"] < 1.0  # genuinely imperfect fixture
+
+
 def test_csv_exporters(tmp_path):
     from vqnerf_release_tpu.eval.vis_csv import (cluster_json_to_csv,
                                                  metric_json_to_csv)
