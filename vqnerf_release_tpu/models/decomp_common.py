@@ -94,6 +94,16 @@ class DecompConfig:
     # interpret-mode kernel is far slower than the jnp path on CPU).
     # Force with --preset-override use_fused_render=True/False.
     use_fused_render: Optional[bool] = None
+    # Training: route VQ assignment + EMA statistics + codebook update
+    # through the single fused Pallas kernel (ops/pallas/vq_kernel.py;
+    # exact-agreement-tested vs the jnp path incl. gradients, and on the
+    # real TPU). None = auto: OFF everywhere — scan-timed on a v5e the
+    # kernel is performance-NEUTRAL (320 us/step both paths at the
+    # production 2048x256 x 15 codes; 666 vs 682 us at 65k rows): XLA
+    # already emits the tiny distance/dw matmuls optimally, so the fused
+    # kernel is an equivalence-proven alternative, not a speedup
+    # (BASELINE.md r3). Force with --preset-override use_fused_vq=True.
+    use_fused_vq: Optional[bool] = None
     # Training data path: 'auto' stages all train views on device once
     # and ships only host-sampled ray indices per step (8 KB instead of
     # the ~4.3 MB gathered batch; see data/device_store.py) when the
@@ -114,6 +124,13 @@ class DecompConfig:
     # scanned epoch inlines the SAME jitted step functions, and full
     # training runs are asserted equal in tests/test_device_store.py.
     epoch_scan: Optional[bool] = None
+    # With epoch_scan active, dispatch up to this many WHOLE epochs as a
+    # single lax.scan (chunks never cross a ckpt/vali boundary, where
+    # host-side work runs). 1 = one dispatch per epoch. Larger chunks
+    # amortize the per-dispatch + scalar-fetch round trips that dominate
+    # short epochs through the axon tunnel; batches, rng streams, and
+    # trajectories are bit-identical to chunk=1 (tests/test_device_store).
+    epoch_scan_chunk: int = 1
 
     @property
     def light_res(self) -> Tuple[int, int]:
@@ -158,6 +175,14 @@ def fused_render_enabled(cfg: DecompConfig):
     if cfg.use_fused_render is None:
         return jax.default_backend() == "tpu"
     return bool(cfg.use_fused_render)
+
+
+def fused_vq_enabled(cfg: DecompConfig):
+    """Resolve the use_fused_vq auto default (None -> off; see the
+    DecompConfig field comment for the measured rationale)."""
+    if cfg.use_fused_vq is None:
+        return False
+    return bool(cfg.use_fused_vq)
 
 
 def light_constants(cfg: DecompConfig):

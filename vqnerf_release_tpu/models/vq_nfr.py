@@ -113,7 +113,8 @@ def vq_nfr_forward(params, ema_state, batch, cfg: dc.DecompConfig, lxyz,
     vq_outs, new_ema = vq_ema_apply(
         codebook, z_norm, ema_state,
         commitment_cost=cfg.commitment_cost, decay=cfg.vq_decay,
-        is_training=(mode == "train"), thres=thres, rng=rng, mask=mask)
+        is_training=(mode == "train"), thres=thres, rng=rng, mask=mask,
+        use_pallas=(mode == "train" and dc.fused_vq_enabled(cfg)))
     z_vq = vq_outs["quantize"]
     embed_ind = vq_outs["encoding_indices"] + 1  # 0 reserved for background
 

@@ -91,7 +91,8 @@ def vq_lookup(codebook, flat_inputs, thres=None, rng=None, mask=None,
 
 def vq_ema_apply(codebook, flat_inputs, ema_state, *, commitment_cost,
                  decay=0.999, epsilon=1e-5, is_training=True, thres=None,
-                 rng=None, mask=None, roll=None):
+                 rng=None, mask=None, roll=None, use_pallas=False,
+                 interpret=None):
     """Full VQ-EMA step (forward + codebook update proposal).
 
     Returns (outs, new_ema_state). ``outs`` keys:
@@ -103,10 +104,19 @@ def vq_ema_apply(codebook, flat_inputs, ema_state, *, commitment_cost,
         vq_nfr.py:580-583.
     ``mask``: [N] 1/0 validity; masked rows contribute nothing to the loss,
     EMA statistics, or perplexity.
+    ``use_pallas``: route assignment + EMA statistics + codebook update
+    through the fused TPU kernel (ops/pallas/vq_kernel.py); training mode
+    only, and the ``distances`` diagnostic is then omitted. The losses and
+    straight-through estimator stay in jnp either way (gradients).
     """
     n = flat_inputs.shape[0]
     if mask is None:
         mask = jnp.ones((n,), flat_inputs.dtype)
+
+    if use_pallas and is_training:
+        return _vq_ema_apply_fused(
+            codebook, flat_inputs, ema_state, commitment_cost, decay,
+            epsilon, thres, rng, mask, roll, interpret)
     look = vq_lookup(codebook, flat_inputs, thres=thres, rng=rng, roll=roll)
     encodings = look["encodings"] * mask[:, None]
     quantized = look["quantized"]
@@ -165,4 +175,52 @@ def vq_ema_apply(codebook, flat_inputs, ema_state, *, commitment_cost,
     outs["update"] = jax.lax.stop_gradient(update)
 
     new_state = VqEmaState(hidden_cs, hidden_dw, counter)
+    return outs, new_state
+
+
+def _vq_ema_apply_fused(codebook, flat_inputs, ema_state, commitment_cost,
+                        decay, epsilon, thres, rng, mask, roll, interpret):
+    """Fused-kernel training step; same contract as vq_ema_apply minus the
+    ``distances`` diagnostic (see ops/pallas/vq_kernel.py)."""
+    from .pallas.vq_kernel import vq_fused_train
+
+    if interpret is None:  # compiled on TPU, interpreter elsewhere
+        interpret = jax.default_backend() != "tpu"
+    k = codebook.shape[1]
+    if thres is None:
+        sel = jnp.ones((k,), jnp.float32)
+    else:
+        if roll is None:
+            roll = jax.random.uniform(rng, (1, k))
+        sel = (roll >= thres).astype(jnp.float32).reshape((k,))
+
+    counter = ema_state.counter + 1
+    fused = vq_fused_train(
+        codebook, flat_inputs, mask.astype(jnp.float32), sel,
+        ema_state.hidden_cluster_size, ema_state.hidden_dw,
+        counter.astype(jnp.float32), decay=decay, epsilon=epsilon,
+        interpret=interpret)
+
+    quantized = fused["quantized"]
+    encodings = jax.nn.one_hot(
+        fused["indices"], k, dtype=flat_inputs.dtype) * mask[:, None]
+
+    denom = jnp.maximum(jnp.sum(mask), 1.0)
+    e_latent_loss = (
+        jnp.sum(jnp.mean((quantized - flat_inputs) ** 2, axis=-1) * mask)
+        / denom
+    )
+    avg_probs = fused["counts"] / denom
+    perplexity = jnp.exp(-jnp.sum(avg_probs * jnp.log(avg_probs + 1e-10)))
+
+    outs = {
+        "quantize": flat_inputs + jax.lax.stop_gradient(
+            quantized - flat_inputs),
+        "loss": commitment_cost * e_latent_loss,
+        "perplexity": perplexity,
+        "encodings": encodings,
+        "encoding_indices": fused["indices"],
+        "update": fused["update"],
+    }
+    new_state = VqEmaState(fused["hidden_cs"], fused["hidden_dw"], counter)
     return outs, new_state
