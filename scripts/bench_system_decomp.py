@@ -61,17 +61,19 @@ def run_mode(mode, views, args, root):
 
     # off = host-gather path; on = resident views, per-step gather;
     # scan = resident views + one lax.scan dispatch per epoch;
+    # chunk = scan dispatching --chunk epochs at a time;
     # u8 = scan with uint8-quantized lvis (~4x smaller store);
     # shard = scan with the store row-sharded over the mesh
     dv, scan = {"off": ("off", False), "on": ("on", False),
-                "scan": ("on", True), "u8": ("u8", True),
-                "shard": ("shard", True)}[mode]
+                "scan": ("on", True), "chunk": ("on", True),
+                "u8": ("u8", True), "shard": ("shard", True)}[mode]
     # production step shape (DecompConfig defaults: z 256, 15 codes,
     # 512 lights, 1024 jitter pairs); epochs < 30 so cfg.epochs keeps
     # the 30-epoch vali period out of the timed window
     cfg = dc.DecompConfig(
         light_h=args.light_h, imh=args.imh,
-        total_sample_vq=2000, device_views=dv, epoch_scan=scan)
+        total_sample_vq=2000, device_views=dv, epoch_scan=scan,
+        epoch_scan_chunk=args.chunk if mode == "chunk" else 1)
     nfr_params = init_nfr_unit(0, cfg)
     out = join(root, mode)
     shutil.rmtree(out, ignore_errors=True)
@@ -81,8 +83,10 @@ def run_mode(mode, views, args, root):
     total = time.time() - t0
     logs = [json.loads(l) for l in open(join(out, "train_log.jsonl"))]
     # epoch 1 pays compile + store staging; the last epoch pays the
-    # final ckpt+vq_test sweep — time the steady middle
-    steady = [l["wall_s"] for l in logs[1:-1]]
+    # final ckpt+vq_test sweep — time the steady middle (for chunked
+    # dispatches the whole FIRST chunk shares the compile wall)
+    drop = args.chunk if mode == "chunk" else 1
+    steady = [l["wall_s"] for l in logs[drop:-1]]
     rays_per_epoch = 2 * cfg.n_rays_per_step * len(views)
     rays_s = rays_per_epoch / float(np.mean(steady))
     return {"mode": mode, "total_s": round(total, 1),
@@ -98,10 +102,13 @@ def main():
     ap.add_argument("--imh", type=int, default=256)
     ap.add_argument("--light-h", type=int, default=16)
     ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--chunk", type=int, default=6,
+                    help="epochs per dispatch for the 'chunk' mode")
     ap.add_argument("--modes", default="off,on,scan",
-                    help="comma list of off|on|scan|u8|shard "
+                    help="comma list of off|on|scan|chunk|u8|shard "
                          "(host-gather / resident per-step / resident "
-                         "scanned-epoch / + u8 lvis / + row-sharded)")
+                         "scanned-epoch / multi-epoch dispatches / "
+                         "+ u8 lvis / + row-sharded)")
     args = ap.parse_args()
 
     cfg_lights = 2 * args.light_h * args.light_h

@@ -261,3 +261,50 @@ def test_training_trajectory_identical(tmp_path, trainer, monkeypatch):
         jax.tree_util.tree_map(
             lambda a, b: np.testing.assert_array_equal(
                 np.asarray(a), np.asarray(b)), p_m, p_off)
+
+
+@pytest.mark.parametrize("trainer", ["nfr_unit", "vq_nfr", "ref_nfr"])
+def test_chunked_epoch_scan_trajectory_identical(tmp_path, trainer,
+                                                 monkeypatch):
+    """epoch_scan_chunk > 1 (several epochs per lax.scan dispatch) must
+    reproduce the chunk=1 trajectory bit for bit — same host rng stream,
+    same per-step key stream, chunks clipped at ckpt/vali boundaries
+    (epochs=4 -> period 2 -> chunk sizes 2,2)."""
+    monkeypatch.setenv("VQNERF_NATIVE_SAMPLER", "0")
+    views = [_view(s, with_ref=(trainer == "ref_nfr")) for s in range(2)]
+    vali = [_view(9, with_ref=(trainer == "ref_nfr"))]
+
+    def run(chunk, sub):
+        cfg = dataclasses.replace(
+            CFG, device_views="on", epoch_scan=True,
+            epoch_scan_chunk=chunk, epochs=4)
+        out = str(tmp_path / (trainer + "_" + sub))
+        if trainer == "nfr_unit":
+            params, hist = loop.train_nfr_unit(
+                cfg, views, vali, out, resume=False)
+        elif trainer == "vq_nfr":
+            nfr_params, _ = loop.train_nfr_unit(
+                cfg, views, vali, str(tmp_path / ("warm_" + sub)),
+                epochs=1, resume=False)
+            params, _, hist = loop.train_vq_nfr(
+                cfg, nfr_params, views, vali, out, resume=False)
+        else:
+            nfr_params, _ = loop.train_nfr_unit(
+                cfg, views, vali, str(tmp_path / ("warm_" + sub)),
+                epochs=1, resume=False)
+            vq_params, _, _ = loop.train_vq_nfr(
+                cfg, nfr_params, views, vali,
+                str(tmp_path / ("vq_" + sub)), epochs=1, resume=False)
+            light = np.asarray(dc.get_light(vq_params))
+            params, hist = loop.train_ref_nfr(
+                cfg, vq_params, light, views, vali, out, resume=False)
+        return params, hist
+
+    import jax
+    p_1, h_1 = run(1, "c1")
+    p_n, h_n = run(5, "c5")  # clipped to the period-2 boundaries
+    assert len(h_n) == len(h_1) == 4
+    np.testing.assert_allclose(h_n, h_1, rtol=0, atol=0)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)), p_n, p_1)

@@ -171,14 +171,30 @@ def _resolve_epoch_scan(cfg, store):
     return bool(want)
 
 
-def _epoch_scan_xs(train_views, cfg, rng, jitter_mode, store, step0):
-    """Host-sample the WHOLE epoch's ray indices: (vi [K], pix [K, 2n],
-    steps [K]) staged for the scanned epoch (pix sharded over the ray
-    axis under a >1-device mesh, padded with the store's zero row)."""
+def _chunk_plan(epoch, epochs, period, chunk):
+    """#epochs for the next scanned dispatch: never past the end and
+    never across a ckpt/vali boundary (those need host-side work)."""
+    boundary = period - (epoch % period)
+    return max(1, min(chunk, epochs - epoch, boundary))
+
+
+def _resolve_scan_chunk(cfg, run_epoch):
+    if run_epoch is None:
+        return 1
+    return max(1, int(getattr(cfg, "epoch_scan_chunk", 1)))
+
+
+def _epoch_scan_xs(train_views, cfg, rng, jitter_mode, store, step0,
+                   n_epochs=1):
+    """Host-sample ray indices for ``n_epochs`` WHOLE epochs: (vi [E*K],
+    pix [E*K, 2n], steps [E*K]) staged for the scanned dispatch (pix
+    sharded over the ray axis under a >1-device mesh, padded with the
+    store's zero row). Epochs are sampled sequentially so the host rng
+    stream is identical to n_epochs single-epoch calls."""
     pix = np.stack([
         np.asarray(sample_view_pix(
             v, cfg.n_rays_per_step, rng, jitter_mode=jitter_mode))
-        for v in train_views]).astype(np.int32)
+        for _ in range(n_epochs) for v in train_views]).astype(np.int32)
     mesh = _get_mesh()
     n_dev = mesh.devices.size
     if n_dev > 1:
@@ -186,8 +202,9 @@ def _epoch_scan_xs(train_views, cfg, rng, jitter_mode, store, step0):
         pix, _ = pad_to_multiple(pix, n_dev, axis=1,
                                  pad_value=store.pad_index)
     k = len(train_views)
-    vi = jnp.asarray(np.arange(k, dtype=np.int32))
-    steps = jnp.asarray(step0 + np.arange(k, dtype=np.float32))
+    vi = jnp.asarray(np.tile(np.arange(k, dtype=np.int32), n_epochs))
+    steps = jnp.asarray(
+        step0 + np.arange(n_epochs * k, dtype=np.float32))
     if n_dev > 1:
         from jax.sharding import NamedSharding
         from jax.sharding import PartitionSpec as P
@@ -424,21 +441,57 @@ def train_nfr_unit(cfg: dc.DecompConfig, train_views, vali_views, outdir,
         epoch_batches = store = None
     run_epoch = (dt.make_plain_epoch_scan(step_fn, store)
                  if _resolve_epoch_scan(cfg, store) else None)
+    period = cfg_ckpt_period(cfg)
+    chunk = _resolve_scan_chunk(cfg, run_epoch)
+    k_steps = max(len(train_views), 1)
+
+    def _post_epoch(e1, losses, wall_s):
+        mean_loss, n_skipped = _finite_mean(losses)
+        history.append(mean_loss)
+        # wall_s closes over the scalar fetch above, so it covers the
+        # full epoch incl. device completion (the reference logs
+        # batch_time_train the same way, trainvali.py:253-255); with
+        # epoch_scan_chunk > 1 it is the chunk wall split over its epochs
+        _log_scalars(outdir, e1, {"loss_train": mean_loss,
+                                  "skipped_steps": n_skipped,
+                                  "wall_s": round(wall_s, 4)})
+        _check_finite(outdir, "nfr_unit", e1, {"loss_train": mean_loss},
+                      {"params": params, "opt_state": opt_state,
+                       "epoch": e1})
+        if e1 % period == 0 or e1 == epochs:
+            ckpt_util.save_ckpt(
+                outdir, e1,
+                {"params": params, "opt_state": opt_state, "epoch": e1},
+                keep=cfg.keep_recent_epochs
+                if cfg.keep_recent_epochs > 0 else None)
+            _nfr_vali(params, cfg, lxyz, lareas, vali_views,
+                      _epoch_dir(outdir, e1), outdir)
+
     pending_xs = None
-    for epoch in range(start_epoch, epochs):
+    epoch = start_epoch
+    while epoch < epochs:
         t_epoch = time.time()
         if run_epoch is not None:
+            n_ep = _chunk_plan(epoch, epochs, period, chunk)
             xs = pending_xs or _epoch_scan_xs(
-                train_views, cfg, rng, jitter_mode, store, step)
+                train_views, cfg, rng, jitter_mode, store, step,
+                n_epochs=n_ep)
             params, opt_state, lds = run_epoch(
                 params, opt_state, store.arrays, *xs)
-            step += len(train_views)
-            # sample the NEXT epoch's indices while the dispatched scan
+            step += n_ep * k_steps
+            # sample the NEXT dispatch's indices while this scan
             # executes (the lds fetch below is the sync point)
+            nxt = epoch + n_ep
             pending_xs = _epoch_scan_xs(
-                train_views, cfg, rng, jitter_mode, store,
-                step) if epoch + 1 < epochs else None
+                train_views, cfg, rng, jitter_mode, store, step,
+                n_epochs=_chunk_plan(nxt, epochs, period, chunk)
+            ) if nxt < epochs else None
             losses = list(np.asarray(lds["loss"], np.float64))
+            wall = (time.time() - t_epoch) / n_ep
+            for j in range(n_ep):
+                _post_epoch(epoch + j + 1,
+                            losses[j * k_steps:(j + 1) * k_steps], wall)
+            epoch = nxt
         else:
             losses = []
             for batch in epoch_batches(rng):
@@ -449,26 +502,8 @@ def train_nfr_unit(cfg: dc.DecompConfig, train_views, vali_views, outdir,
                 # the async dispatch pipeline against host sampling
                 losses.append(ld["loss"])
                 step += 1
-        mean_loss, n_skipped = _finite_mean(losses)
-        history.append(mean_loss)
-        e1 = epoch + 1
-        # wall_s closes over the scalar fetch above, so it covers the
-        # full epoch incl. device completion (the reference logs
-        # batch_time_train the same way, trainvali.py:253-255)
-        _log_scalars(outdir, e1, {"loss_train": history[-1],
-                                  "skipped_steps": n_skipped,
-                                  "wall_s": round(time.time() - t_epoch, 4)})
-        _check_finite(outdir, "nfr_unit", e1, {"loss_train": history[-1]},
-                      {"params": params, "opt_state": opt_state,
-                       "epoch": e1})
-        if e1 % cfg_ckpt_period(cfg) == 0 or e1 == epochs:
-            ckpt_util.save_ckpt(
-                outdir, e1,
-                {"params": params, "opt_state": opt_state, "epoch": e1},
-                keep=cfg.keep_recent_epochs
-                if cfg.keep_recent_epochs > 0 else None)
-            _nfr_vali(params, cfg, lxyz, lareas, vali_views,
-                      _epoch_dir(outdir, e1), outdir)
+            _post_epoch(epoch + 1, losses, time.time() - t_epoch)
+            epoch += 1
     save_metas(outdir)
     return params, history
 
@@ -564,29 +599,69 @@ def train_vq_nfr(cfg: dc.DecompConfig, nfr_params, train_views, vali_views,
     run_epoch = (dt.make_vq_epoch_scan(step_fn, store)
                  if _resolve_epoch_scan(cfg, store) else None)
 
-    def _vq_xs(step0):
+    def _vq_xs(step0, n_epochs=1):
         nonlocal key
         vi, pix, steps = _epoch_scan_xs(
-            train_views, cfg, rng, "random", store, step0)
-        subs = []
-        for _ in train_views:  # same key stream as the step path
+            train_views, cfg, rng, "random", store, step0,
+            n_epochs=n_epochs)
+        subs = []  # same key stream as the step path
+        for _ in range(n_epochs * len(train_views)):
             key, sub = jax.random.split(key)
             subs.append(sub)
         return vi, pix, jnp.stack(subs), steps
 
+    period = cfg_ckpt_period(cfg)
+    chunk = _resolve_scan_chunk(cfg, run_epoch)
+    k_steps = max(len(train_views), 1)
+
+    def _post_epoch(e1, loss_dicts, wall_s):
+        mean_loss, n_skipped = _finite_mean(
+            [d["loss"] for d in loss_dicts])
+        history.append(mean_loss)
+        _log_scalars(outdir, e1, {
+            **{k: _finite_mean([d[k] for d in loss_dicts])[0]
+               for k in loss_dicts[0]},
+            "skipped_steps": n_skipped,
+            "wall_s": round(wall_s, 4)})
+        _check_finite(outdir, "vq_nfr", e1, {"loss": mean_loss},
+                      {"params": params, "ema": ema_state,
+                       "opt_state": opt_state, "epoch": e1})
+        if e1 % period == 0 or e1 == epochs:
+            ckpt_util.save_ckpt(
+                outdir, e1,
+                {"params": params, "ema": ema_state,
+                 "opt_state": opt_state, "epoch": e1},
+                keep=cfg.keep_recent_epochs
+                if cfg.keep_recent_epochs > 0 else None)
+            _vq_vali(
+                params, cfg, lxyz, lareas, vali_views, vq_eval,
+                val_thres_list, x_list, loss_dicts,
+                _epoch_dir(outdir, e1), seed)
+
     pending_xs = None
-    for epoch in range(start_epoch, epochs):
+    epoch = start_epoch
+    while epoch < epochs:
         t_epoch = time.time()
         if run_epoch is not None:
-            vi, pix, subs, steps = pending_xs or _vq_xs(step)
+            n_ep = _chunk_plan(epoch, epochs, period, chunk)
+            vi, pix, subs, steps = pending_xs or _vq_xs(step, n_ep)
             params, ema_state, opt_state, lds = run_epoch(
                 params, ema_state, opt_state, store.arrays, train_thres,
                 vi, pix, subs, steps)
-            step += len(train_views)
-            # next epoch's sampling overlaps the dispatched scan (the
-            # _unstack_lds fetch below is the sync point)
-            pending_xs = _vq_xs(step) if epoch + 1 < epochs else None
+            step += n_ep * k_steps
+            # the next dispatch's sampling overlaps the running scan
+            # (the _unstack_lds fetch below is the sync point)
+            nxt = epoch + n_ep
+            pending_xs = _vq_xs(
+                step, _chunk_plan(nxt, epochs, period, chunk)
+            ) if nxt < epochs else None
             loss_dicts = _unstack_lds(lds)
+            wall = (time.time() - t_epoch) / n_ep
+            for j in range(n_ep):
+                _post_epoch(epoch + j + 1,
+                            loss_dicts[j * k_steps:(j + 1) * k_steps],
+                            wall)
+            epoch = nxt
         else:
             loss_dicts = []
             for batch in epoch_batches(rng):
@@ -597,30 +672,8 @@ def train_vq_nfr(cfg: dc.DecompConfig, nfr_params, train_views, vali_views,
                 loss_dicts.append(ld)  # device; sync at epoch end
                 step += 1
             loss_dicts = _sync_scalar_dicts(loss_dicts)
-        mean_loss, n_skipped = _finite_mean(
-            [d["loss"] for d in loss_dicts])
-        history.append(mean_loss)
-
-        e1 = epoch + 1
-        _log_scalars(outdir, e1, {
-            **{k: _finite_mean([d[k] for d in loss_dicts])[0]
-               for k in loss_dicts[0]},
-            "skipped_steps": n_skipped,
-            "wall_s": round(time.time() - t_epoch, 4)})
-        _check_finite(outdir, "vq_nfr", e1, {"loss": history[-1]},
-                      {"params": params, "ema": ema_state,
-                       "opt_state": opt_state, "epoch": e1})
-        if e1 % cfg_ckpt_period(cfg) == 0 or e1 == epochs:
-            ckpt_util.save_ckpt(
-                outdir, e1,
-                {"params": params, "ema": ema_state,
-                 "opt_state": opt_state, "epoch": e1},
-                keep=cfg.keep_recent_epochs
-                if cfg.keep_recent_epochs > 0 else None)
-            main_vq = _vq_vali(
-                params, cfg, lxyz, lareas, vali_views, vq_eval,
-                val_thres_list, x_list, loss_dicts,
-                _epoch_dir(outdir, e1), seed)
+            _post_epoch(epoch + 1, loss_dicts, time.time() - t_epoch)
+            epoch += 1
     save_metas(outdir)
     return params, ema_state, history
 
@@ -732,37 +785,20 @@ def train_ref_nfr(cfg: dc.DecompConfig, vq_params, light, train_views,
     run_epoch = (dt.make_plain_epoch_scan(step_fn, store,
                                           donate=(1,))
                  if _resolve_epoch_scan(cfg, store) else None)
-    pending_xs = None
-    for epoch in range(start_epoch, epochs):
-        t_epoch = time.time()
-        if run_epoch is not None:
-            xs = pending_xs or _epoch_scan_xs(
-                train_views, cfg, rng, "contrast", store, step)
-            params, opt_state, lds = run_epoch(
-                params, opt_state, store.arrays, *xs)
-            step += len(train_views)
-            pending_xs = _epoch_scan_xs(
-                train_views, cfg, rng, "contrast", store,
-                step) if epoch + 1 < epochs else None
-            losses = list(np.asarray(lds["loss"], np.float64))
-        else:
-            losses = []
-            for batch in epoch_batches(rng):
-                params, opt_state, ld = step_fn(
-                    params, opt_state, batch,
-                    jnp.asarray(step, jnp.float32))
-                losses.append(ld["loss"])  # device; sync at epoch end
-                step += 1
+    period = cfg_ckpt_period(cfg)
+    chunk = _resolve_scan_chunk(cfg, run_epoch)
+    k_steps = max(len(train_views), 1)
+
+    def _post_epoch(e1, losses, wall_s):
         mean_loss, n_skipped = _finite_mean(losses)
         history.append(mean_loss)
-        e1 = epoch + 1
-        _log_scalars(outdir, e1, {"loss_train": history[-1],
+        _log_scalars(outdir, e1, {"loss_train": mean_loss,
                                   "skipped_steps": n_skipped,
-                                  "wall_s": round(time.time() - t_epoch, 4)})
-        _check_finite(outdir, "ref_nfr", e1, {"loss_train": history[-1]},
+                                  "wall_s": round(wall_s, 4)})
+        _check_finite(outdir, "ref_nfr", e1, {"loss_train": mean_loss},
                       {"params": params, "opt_state": opt_state,
                        "epoch": e1})
-        if e1 % cfg_ckpt_period(cfg) == 0 or e1 == epochs:
+        if e1 % period == 0 or e1 == epochs:
             ckpt_util.save_ckpt(
                 outdir, e1,
                 {"params": params, "opt_state": opt_state, "epoch": e1},
@@ -779,5 +815,39 @@ def train_ref_nfr(cfg: dc.DecompConfig, vq_params, light, train_views,
                 vis_view(vis, (view.h, view.w),
                          join(epoch_dir, "batch%09d" % b_i), view.id,
                          white_bg=cfg.white_bg, mode="vali")
+
+    pending_xs = None
+    epoch = start_epoch
+    while epoch < epochs:
+        t_epoch = time.time()
+        if run_epoch is not None:
+            n_ep = _chunk_plan(epoch, epochs, period, chunk)
+            xs = pending_xs or _epoch_scan_xs(
+                train_views, cfg, rng, "contrast", store, step,
+                n_epochs=n_ep)
+            params, opt_state, lds = run_epoch(
+                params, opt_state, store.arrays, *xs)
+            step += n_ep * k_steps
+            nxt = epoch + n_ep
+            pending_xs = _epoch_scan_xs(
+                train_views, cfg, rng, "contrast", store, step,
+                n_epochs=_chunk_plan(nxt, epochs, period, chunk)
+            ) if nxt < epochs else None
+            losses = list(np.asarray(lds["loss"], np.float64))
+            wall = (time.time() - t_epoch) / n_ep
+            for j in range(n_ep):
+                _post_epoch(epoch + j + 1,
+                            losses[j * k_steps:(j + 1) * k_steps], wall)
+            epoch = nxt
+        else:
+            losses = []
+            for batch in epoch_batches(rng):
+                params, opt_state, ld = step_fn(
+                    params, opt_state, batch,
+                    jnp.asarray(step, jnp.float32))
+                losses.append(ld["loss"])  # device; sync at epoch end
+                step += 1
+            _post_epoch(epoch + 1, losses, time.time() - t_epoch)
+            epoch += 1
     save_metas(outdir)
     return params, history
