@@ -7,7 +7,7 @@ Metrics (all at the reference's production shapes):
      config/vq_nfr.ini + scripts/train/vq_nerf.sh).
   2. geo_train_rays_per_sec — full NeuS training step (2560-ray batch,
      grad-of-grad Eikonal) at the production default sampler:
-     occupancy-guided 24+16 samples, 2 up-sample rounds, 128^3 grid
+     occupancy-guided 24+8 samples, 2 up-sample rounds, 128^3 grid
      (quality-guarded by the 4-scene guardrail; BASELINE.md r3).
      geo_train_parity_rays_per_sec — same step at the reference-exact
      sampler (64 uniform + 64 importance, 4 rounds; confs/nerf.conf).
@@ -217,9 +217,10 @@ def _bench_geo(metric_name, n_iters=10, **cfg_overrides):
 
 
 def bench_geo_train():
-    """Production training default: occupancy-guided 24+16 r2 over a
+    """Production training default: occupancy-guided 24+8 r2 over a
     128^3 grid (quality guard: beats the reference sampler at equal
-    steps on every hostile-geometry guardrail scene; BASELINE.md r3)."""
+    steps on every hostile-geometry guardrail scene, thin-plate margin
+    confirmed over two runs; BASELINE.md r3)."""
     return _bench_geo("geo_train_rays_per_sec", n_iters=30)
 
 

@@ -91,6 +91,10 @@ def main():
                     help="occupancy grid resolution for the --occ rows "
                          "(128 recovers thin-geometry quality at 24+16, "
                          "see the r3 guardrail)")
+    ap.add_argument("--cells", type=str, default="",
+                    help="comma-separated ad-hoc occ cells 'S+IrR', e.g. "
+                         "'24+8r2,24+12r2' — timed with the occupancy "
+                         "sampler at --occ-res, skipping the fixed grid")
     args = ap.parse_args()
 
     from vqnerf_release_tpu.models.neus import NeuSConfig
@@ -98,6 +102,21 @@ def main():
 
     b = args.batch
     tcfg = NeuSTrainConfig(batch_size=b)
+
+    if args.cells:
+        import re
+        for cell in args.cells.split(","):
+            m = re.fullmatch(r"(\d+)\+(\d+)r(\d+)", cell.strip())
+            if not m:
+                raise SystemExit(f"bad cell {cell!r}; want e.g. 24+8r2")
+            s, i, r = map(int, m.groups())
+            ncfg = NeuSConfig(n_samples=s, n_importance=i,
+                              up_sample_steps=r)
+            time_config(f"occ {s}+{i} r{r} b{b} res{args.occ_res}",
+                        ncfg, tcfg, b, n_iters=args.iters,
+                        occ_res=args.occ_res)
+        return
+
     grid = [
         ("prod 64+64 r4", NeuSConfig()),
         ("64+48 r3", NeuSConfig(n_importance=48, up_sample_steps=3)),

@@ -27,10 +27,14 @@ CONFIGS = [
     ("occ 16+16r2", ["--geo-sampler", "16+16r2", "--occ-res", "64"]),
     # fallback candidate: more initial samples, still occupancy-guided
     ("occ 32+16r2", ["--geo-sampler", "32+16r2", "--occ-res", "64"]),
-    # the shipped r3 default: fewer initial samples made safe on thin
-    # geometry by a finer 128^3 grid (the plate is ~2.6 cells thick
-    # there vs ~1.3 at 64^3; BASELINE.md r3 occ128 row)
+    # fewer initial samples made safe on thin geometry by a finer 128^3
+    # grid (the plate is ~2.6 cells thick there vs ~1.3 at 64^3;
+    # BASELINE.md r3 occ128 row)
     ("occ 24+16r2/128", ["--geo-sampler", "24+16r2", "--occ-res", "128"]),
+    # the shipped r3 default after the second retune: halving the
+    # importance samples keeps all four scenes above the reference bar
+    # (plate margin +0.2 dB, confirmed over two runs) at 75.9k rays/s
+    ("occ 24+8r2/128", ["--geo-sampler", "24+8r2", "--occ-res", "128"]),
 ]
 
 

@@ -241,7 +241,7 @@ def test_preset_defaults_fast_training_parity_extraction(tmp_path,
 
     cfg, tcfg, _ = vcfg.neus_configs_for_scene("lego_3072")
     assert (cfg.n_samples, cfg.n_importance, cfg.up_sample_steps,
-            tcfg.occ_res) == (24, 16, 2, 128)
+            tcfg.occ_res) == (24, 8, 2, 128)
 
     args = SimpleNamespace(scene="lego_3072", geo_override="",
                            n_samples=0)

@@ -81,22 +81,25 @@ _FAMILY_GEO = {
 }
 
 # Default stage-1 TRAINING sampler for every family: occupancy-guided
-# 24+16 samples, 2 up-sample rounds over a 128^3 grid — 65.4k rays/s vs
-# 20.6k at the reference's 64+64 r4 (3.2x per step, 7.3x the
+# 24+8 samples, 2 up-sample rounds over a 128^3 grid — 75.9k rays/s vs
+# 20.6k at the reference's 64+64 r4 (3.7x per step, 8.4x the
 # reference-GPU estimate), and it beats the reference sampler at equal
 # steps on EVERY r3 guardrail scene incl. the hostile thin/multi-body
-# geometries (sphere +5.8 dB, torus +4.4, plate +0.4, blobs +3.5;
+# geometries (sphere +5.9 dB, torus +3.2, plate +0.20 — confirmed over
+# two runs, both 23.79 vs 23.59 — blobs +3.0;
 # scripts/guardrail_scenes.py, BASELINE.md r3). The finer 128^3 grid is
 # what makes 24 initial samples safe on thin geometry: at 64^3 the same
-# sampler lost 0.35 dB on the thin plate (the plate is ~1.3 cells thick
-# there, 2.6 at 128^3); rebuild cost is 80 ms every occ_update_freq=250
-# steps (~0.8% of a 39 ms step). Faster tiers measured but NOT default
-# even at 128^3: occ 16+16 r2 82.5k (-4.6 dB on the plate), 16+8 r2
-# 105.6k (-2.9 dB) — select via --geo-override.
+# initial count lost 0.35 dB on the thin plate (the plate is ~1.3 cells
+# thick there, 2.6 at 128^3); rebuild cost is 80 ms every
+# occ_update_freq=250 steps (<1% of a step). The earlier 24+16 default
+# (62.7-65.4k rays/s) keeps larger margins on torus/blobs (+1.2/+0.5 dB
+# over 24+8) — one --geo-override away when quality headroom matters.
+# Cheaper tiers measured but quality-REJECTED even at 128^3: occ 16+16
+# r2 82.5k (-4.6 dB on the plate), 16+8 r2 105.6k (-2.9 dB).
 # Reference-exact sampling remains one override away:  --geo-override
 # n_samples=64,n_importance=64,up_sample_steps=4,occ_res=0
 # (geo/NeuS-ours2/confs/nerf.conf:83-86 semantics).
-_GEO_FAST_SAMPLER = dict(n_samples=24, n_importance=16, up_sample_steps=2,
+_GEO_FAST_SAMPLER = dict(n_samples=24, n_importance=8, up_sample_steps=2,
                          occ_res=128)
 
 
