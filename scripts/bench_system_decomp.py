@@ -83,10 +83,17 @@ def run_mode(mode, views, args, root):
     total = time.time() - t0
     logs = [json.loads(l) for l in open(join(out, "train_log.jsonl"))]
     # epoch 1 pays compile + store staging; the last epoch pays the
-    # final ckpt+vq_test sweep — time the steady middle (for chunked
-    # dispatches the whole FIRST chunk shares the compile wall)
-    drop = args.chunk if mode == "chunk" else 1
-    steady = [l["wall_s"] for l in logs[drop:-1]]
+    # final ckpt+vq_test sweep — time the steady middle. For chunked
+    # dispatches the whole FIRST chunk shares the compile wall, and a
+    # trailing REMAINDER chunk (epochs % chunk != 0) recompiles for its
+    # new scan length — production runs (150 epochs, period 30, chunk
+    # dividing the period) never hit one, so exclude it from steady too
+    if mode == "chunk":
+        full_end = (args.epochs // args.chunk) * args.chunk
+        steady = [l["wall_s"] for l in logs[args.chunk:full_end]]
+        steady = steady[:-1] if full_end == args.epochs else steady
+    else:
+        steady = [l["wall_s"] for l in logs[1:-1]]
     rays_per_epoch = 2 * cfg.n_rays_per_step * len(views)
     rays_s = rays_per_epoch / float(np.mean(steady))
     return {"mode": mode, "total_s": round(total, 1),
