@@ -92,6 +92,12 @@ def run_mode(mode, views, args, root):
         full_end = (args.epochs // args.chunk) * args.chunk
         steady = [l["wall_s"] for l in logs[args.chunk:full_end]]
         steady = steady[:-1] if full_end == args.epochs else steady
+        if not steady:  # epochs < 2*chunk: no post-compile full chunk
+            print(f"[chunk] epochs={args.epochs} < 2*chunk="
+                  f"{2 * args.chunk}: steady window empty, falling back "
+                  "to all post-first-chunk epochs (compile-polluted)")
+            steady = [l["wall_s"] for l in logs[args.chunk:-1]] \
+                or [l["wall_s"] for l in logs[1:-1]]
     else:
         steady = [l["wall_s"] for l in logs[1:-1]]
     rays_per_epoch = 2 * cfg.n_rays_per_step * len(views)

@@ -230,9 +230,9 @@ def test_geo_override_routes_both_configs():
 
 def test_preset_defaults_fast_training_parity_extraction(tmp_path,
                                                          monkeypatch):
-    """Family presets default TRAINING to the occupancy 24+16 r2 sampler
-    over a 128^3 grid (65k rays/s; beats the reference sampler on EVERY
-    r3 guardrail scene) while gen-geo EXTRACTION keeps the
+    """Family presets default TRAINING to the occupancy 24+8 r2 sampler
+    over a 128^3 grid (76-81k rays/s; beats the reference sampler on
+    EVERY r3 guardrail scene) while gen-geo EXTRACTION keeps the
     reference-parity 64+64 r4 renderer; both stay one override away."""
     from types import SimpleNamespace
 

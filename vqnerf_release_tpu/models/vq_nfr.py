@@ -145,8 +145,12 @@ def vq_nfr_forward(params, ema_state, batch, cfg: dc.DecompConfig, lxyz,
         "spec": spec,
         "rough": rough,
         "perplexity": vq_outs["perplexity"],
-        "usage": (jnp.max(vq_outs["encodings"], axis=0) > 0).astype(
-            jnp.float32),
+        # masked per-code usage; the fused path returns counts directly
+        # instead of the [N, K] one-hot (counts > 0 <=> any masked row
+        # assigned to the code)
+        "usage": ((vq_outs["counts"] > 0) if "counts" in vq_outs
+                  else (jnp.max(vq_outs["encodings"], axis=0) > 0)
+                  ).astype(jnp.float32),
     }
     if mode == "train":
         aux["codebook_update"] = vq_outs["update"]

@@ -23,9 +23,11 @@ needs no VJP; the commitment loss and straight-through estimator stay in
 jnp where autodiff needs them.
 
 Semantics note: dropped codes are excluded from the argmin with a large
-constant rather than the jnp path's row-max, which changes nothing unless
-EVERY distance in a row equals the row max (a fully degenerate row); the
-`distances` diagnostic output is not produced in fused mode.
+constant rather than the jnp path's fill of max(distances) over the WHOLE
+[N, K] matrix; the argmin can differ only in the degenerate case where a
+row's usable minimum already equals that global max while a dropped code
+has a lower index. The `distances` diagnostic output is not produced in
+fused mode.
 """
 
 import functools

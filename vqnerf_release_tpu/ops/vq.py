@@ -106,8 +106,10 @@ def vq_ema_apply(codebook, flat_inputs, ema_state, *, commitment_cost,
     EMA statistics, or perplexity.
     ``use_pallas``: route assignment + EMA statistics + codebook update
     through the fused TPU kernel (ops/pallas/vq_kernel.py); training mode
-    only, and the ``distances`` diagnostic is then omitted. The losses and
-    straight-through estimator stay in jnp either way (gradients).
+    only. The fused outs omit the ``distances`` and [N, K] ``encodings``
+    diagnostics (rebuilding them would re-materialize what the kernel
+    fuses away) and add masked per-code ``counts`` instead. The losses
+    and straight-through estimator stay in jnp either way (gradients).
     """
     n = flat_inputs.shape[0]
     if mask is None:
@@ -202,8 +204,6 @@ def _vq_ema_apply_fused(codebook, flat_inputs, ema_state, commitment_cost,
         interpret=interpret)
 
     quantized = fused["quantized"]
-    encodings = jax.nn.one_hot(
-        fused["indices"], k, dtype=flat_inputs.dtype) * mask[:, None]
 
     denom = jnp.maximum(jnp.sum(mask), 1.0)
     e_latent_loss = (
@@ -218,7 +218,11 @@ def _vq_ema_apply_fused(codebook, flat_inputs, ema_state, commitment_cost,
             quantized - flat_inputs),
         "loss": commitment_cost * e_latent_loss,
         "perplexity": perplexity,
-        "encodings": encodings,
+        # no [N, K] "encodings" in fused mode — rebuilding the one-hot
+        # would re-materialize exactly the HBM intermediate the kernel
+        # avoids; the masked per-code "counts" cover the consumers
+        # (usage = counts > 0)
+        "counts": fused["counts"],
         "encoding_indices": fused["indices"],
         "update": fused["update"],
     }

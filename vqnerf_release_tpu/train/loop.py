@@ -184,6 +184,36 @@ def _resolve_scan_chunk(cfg, run_epoch):
     return max(1, int(getattr(cfg, "epoch_scan_chunk", 1)))
 
 
+def _scan_epoch_loop(start_epoch, epochs, period, chunk, sample_xs,
+                     dispatch, fetch, post_epoch):
+    """Shared chunked scanned-dispatch driver for the three trainers.
+
+    ``sample_xs(n_epochs)`` host-samples the next dispatch's xs (reading
+    the trainer's current step/key state from its closure);
+    ``dispatch(xs)`` launches the scan and returns the DEVICE lds without
+    syncing; ``fetch(lds, n_ep)`` is the sync point, returning one
+    payload per epoch; ``post_epoch(e1, payload, wall_s, state_epoch)``
+    does logging/guard/ckpt/vali. The next chunk's sampling overlaps the
+    dispatched scan; wall time is the chunk wall split over its epochs.
+    """
+    pending_xs = None
+    epoch = start_epoch
+    while epoch < epochs:
+        t_chunk = time.time()
+        n_ep = _chunk_plan(epoch, epochs, period, chunk)
+        xs = pending_xs if pending_xs is not None else sample_xs(n_ep)
+        lds = dispatch(xs)
+        nxt = epoch + n_ep
+        pending_xs = sample_xs(
+            _chunk_plan(nxt, epochs, period, chunk)) if nxt < epochs \
+            else None
+        payloads = fetch(lds, n_ep)
+        wall = (time.time() - t_chunk) / n_ep
+        for j in range(n_ep):
+            post_epoch(epoch + j + 1, payloads[j], wall, nxt)
+        epoch = nxt
+
+
 def _epoch_scan_xs(train_views, cfg, rng, jitter_mode, store, step0,
                    n_epochs=1):
     """Host-sample ray indices for ``n_epochs`` WHOLE epochs: (vi [E*K],
@@ -281,24 +311,32 @@ def _finite_mean(vals):
     return mean, n_skipped
 
 
-def _check_finite(outdir, phase, epoch, scalars, state):
-    """Divergence guard: on a non-finite epoch loss, checkpoint the exact
+def _check_finite(outdir, phase, epoch, scalars, state, state_epoch=None):
+    """Divergence guard: on a non-finite epoch loss, checkpoint the
     failing state under <outdir>/debug_failure/ and raise with context.
     (The reference trains blind here — a NaN silently corrupts all later
     epochs; on long TPU runs we want the job to stop AND be resumable
-    from the last good checkpoint.)"""
+    from the last good checkpoint.) With chunked scanned dispatches
+    (epoch_scan_chunk > 1) per-epoch state is not observable mid-chunk;
+    ``state_epoch`` labels the END-OF-CHUNK state actually saved."""
     bad = {k: v for k, v in scalars.items()
            if not np.isfinite(np.asarray(v)).all()}
     if not bad:
         return
+    state_epoch = epoch if state_epoch is None else state_epoch
     dump = join(outdir, "debug_failure")
-    ckpt_util.save_ckpt(dump, epoch, state)
-    _log_scalars(dump, epoch, {"phase": phase, "non_finite": sorted(bad)})
+    ckpt_util.save_ckpt(dump, state_epoch, state)
+    _log_scalars(dump, epoch, {"phase": phase, "non_finite": sorted(bad),
+                               "state_epoch": state_epoch})
+    granularity = ("" if state_epoch == epoch else
+                   f" (chunked dispatch: the saved state is from "
+                   f"end-of-chunk epoch {state_epoch}, the earliest "
+                   "observable after the failure)")
     raise RuntimeError(
         f"{phase}: non-finite training loss at epoch {epoch}: {bad} — "
-        f"failing state checkpointed under {dump}; resume from the last "
-        f"good checkpoint in {outdir} after lowering the LR or inspecting "
-        "the data")
+        f"failing state checkpointed under {dump}{granularity}; resume "
+        f"from the last good checkpoint in {outdir} after lowering the "
+        "LR or inspecting the data")
 
 
 def save_metas(outdir):
@@ -445,7 +483,7 @@ def train_nfr_unit(cfg: dc.DecompConfig, train_views, vali_views, outdir,
     chunk = _resolve_scan_chunk(cfg, run_epoch)
     k_steps = max(len(train_views), 1)
 
-    def _post_epoch(e1, losses, wall_s):
+    def _post_epoch(e1, losses, wall_s, state_epoch=None):
         mean_loss, n_skipped = _finite_mean(losses)
         history.append(mean_loss)
         # wall_s closes over the scalar fetch above, so it covers the
@@ -457,7 +495,8 @@ def train_nfr_unit(cfg: dc.DecompConfig, train_views, vali_views, outdir,
                                   "wall_s": round(wall_s, 4)})
         _check_finite(outdir, "nfr_unit", e1, {"loss_train": mean_loss},
                       {"params": params, "opt_state": opt_state,
-                       "epoch": e1})
+                       "epoch": state_epoch or e1},
+                      state_epoch=state_epoch)
         if e1 % period == 0 or e1 == epochs:
             ckpt_util.save_ckpt(
                 outdir, e1,
@@ -467,32 +506,28 @@ def train_nfr_unit(cfg: dc.DecompConfig, train_views, vali_views, outdir,
             _nfr_vali(params, cfg, lxyz, lareas, vali_views,
                       _epoch_dir(outdir, e1), outdir)
 
-    pending_xs = None
-    epoch = start_epoch
-    while epoch < epochs:
-        t_epoch = time.time()
-        if run_epoch is not None:
-            n_ep = _chunk_plan(epoch, epochs, period, chunk)
-            xs = pending_xs or _epoch_scan_xs(
-                train_views, cfg, rng, jitter_mode, store, step,
-                n_epochs=n_ep)
+    if run_epoch is not None:
+        def sample_xs(n_ep):
+            return _epoch_scan_xs(train_views, cfg, rng, jitter_mode,
+                                  store, step, n_epochs=n_ep)
+
+        def dispatch(xs):
+            nonlocal params, opt_state, step
             params, opt_state, lds = run_epoch(
                 params, opt_state, store.arrays, *xs)
-            step += n_ep * k_steps
-            # sample the NEXT dispatch's indices while this scan
-            # executes (the lds fetch below is the sync point)
-            nxt = epoch + n_ep
-            pending_xs = _epoch_scan_xs(
-                train_views, cfg, rng, jitter_mode, store, step,
-                n_epochs=_chunk_plan(nxt, epochs, period, chunk)
-            ) if nxt < epochs else None
+            step += int(xs[0].shape[0])
+            return lds
+
+        def fetch(lds, n_ep):
             losses = list(np.asarray(lds["loss"], np.float64))
-            wall = (time.time() - t_epoch) / n_ep
-            for j in range(n_ep):
-                _post_epoch(epoch + j + 1,
-                            losses[j * k_steps:(j + 1) * k_steps], wall)
-            epoch = nxt
-        else:
+            return [losses[j * k_steps:(j + 1) * k_steps]
+                    for j in range(n_ep)]
+
+        _scan_epoch_loop(start_epoch, epochs, period, chunk,
+                         sample_xs, dispatch, fetch, _post_epoch)
+    else:
+        for epoch in range(start_epoch, epochs):
+            t_epoch = time.time()
             losses = []
             for batch in epoch_batches(rng):
                 params, opt_state, ld = step_fn(
@@ -503,7 +538,6 @@ def train_nfr_unit(cfg: dc.DecompConfig, train_views, vali_views, outdir,
                 losses.append(ld["loss"])
                 step += 1
             _post_epoch(epoch + 1, losses, time.time() - t_epoch)
-            epoch += 1
     save_metas(outdir)
     return params, history
 
@@ -614,7 +648,7 @@ def train_vq_nfr(cfg: dc.DecompConfig, nfr_params, train_views, vali_views,
     chunk = _resolve_scan_chunk(cfg, run_epoch)
     k_steps = max(len(train_views), 1)
 
-    def _post_epoch(e1, loss_dicts, wall_s):
+    def _post_epoch(e1, loss_dicts, wall_s, state_epoch=None):
         mean_loss, n_skipped = _finite_mean(
             [d["loss"] for d in loss_dicts])
         history.append(mean_loss)
@@ -625,7 +659,9 @@ def train_vq_nfr(cfg: dc.DecompConfig, nfr_params, train_views, vali_views,
             "wall_s": round(wall_s, 4)})
         _check_finite(outdir, "vq_nfr", e1, {"loss": mean_loss},
                       {"params": params, "ema": ema_state,
-                       "opt_state": opt_state, "epoch": e1})
+                       "opt_state": opt_state,
+                       "epoch": state_epoch or e1},
+                      state_epoch=state_epoch)
         if e1 % period == 0 or e1 == epochs:
             ckpt_util.save_ckpt(
                 outdir, e1,
@@ -638,31 +674,28 @@ def train_vq_nfr(cfg: dc.DecompConfig, nfr_params, train_views, vali_views,
                 val_thres_list, x_list, loss_dicts,
                 _epoch_dir(outdir, e1), seed)
 
-    pending_xs = None
-    epoch = start_epoch
-    while epoch < epochs:
-        t_epoch = time.time()
-        if run_epoch is not None:
-            n_ep = _chunk_plan(epoch, epochs, period, chunk)
-            vi, pix, subs, steps = pending_xs or _vq_xs(step, n_ep)
+    if run_epoch is not None:
+        def sample_xs(n_ep):
+            return _vq_xs(step, n_ep)
+
+        def dispatch(xs):
+            nonlocal params, ema_state, opt_state, step
             params, ema_state, opt_state, lds = run_epoch(
                 params, ema_state, opt_state, store.arrays, train_thres,
-                vi, pix, subs, steps)
-            step += n_ep * k_steps
-            # the next dispatch's sampling overlaps the running scan
-            # (the _unstack_lds fetch below is the sync point)
-            nxt = epoch + n_ep
-            pending_xs = _vq_xs(
-                step, _chunk_plan(nxt, epochs, period, chunk)
-            ) if nxt < epochs else None
+                *xs)
+            step += int(xs[0].shape[0])
+            return lds
+
+        def fetch(lds, n_ep):
             loss_dicts = _unstack_lds(lds)
-            wall = (time.time() - t_epoch) / n_ep
-            for j in range(n_ep):
-                _post_epoch(epoch + j + 1,
-                            loss_dicts[j * k_steps:(j + 1) * k_steps],
-                            wall)
-            epoch = nxt
-        else:
+            return [loss_dicts[j * k_steps:(j + 1) * k_steps]
+                    for j in range(n_ep)]
+
+        _scan_epoch_loop(start_epoch, epochs, period, chunk,
+                         sample_xs, dispatch, fetch, _post_epoch)
+    else:
+        for epoch in range(start_epoch, epochs):
+            t_epoch = time.time()
             loss_dicts = []
             for batch in epoch_batches(rng):
                 key, sub = jax.random.split(key)
@@ -673,7 +706,6 @@ def train_vq_nfr(cfg: dc.DecompConfig, nfr_params, train_views, vali_views,
                 step += 1
             loss_dicts = _sync_scalar_dicts(loss_dicts)
             _post_epoch(epoch + 1, loss_dicts, time.time() - t_epoch)
-            epoch += 1
     save_metas(outdir)
     return params, ema_state, history
 
@@ -789,7 +821,7 @@ def train_ref_nfr(cfg: dc.DecompConfig, vq_params, light, train_views,
     chunk = _resolve_scan_chunk(cfg, run_epoch)
     k_steps = max(len(train_views), 1)
 
-    def _post_epoch(e1, losses, wall_s):
+    def _post_epoch(e1, losses, wall_s, state_epoch=None):
         mean_loss, n_skipped = _finite_mean(losses)
         history.append(mean_loss)
         _log_scalars(outdir, e1, {"loss_train": mean_loss,
@@ -797,7 +829,8 @@ def train_ref_nfr(cfg: dc.DecompConfig, vq_params, light, train_views,
                                   "wall_s": round(wall_s, 4)})
         _check_finite(outdir, "ref_nfr", e1, {"loss_train": mean_loss},
                       {"params": params, "opt_state": opt_state,
-                       "epoch": e1})
+                       "epoch": state_epoch or e1},
+                      state_epoch=state_epoch)
         if e1 % period == 0 or e1 == epochs:
             ckpt_util.save_ckpt(
                 outdir, e1,
@@ -816,30 +849,28 @@ def train_ref_nfr(cfg: dc.DecompConfig, vq_params, light, train_views,
                          join(epoch_dir, "batch%09d" % b_i), view.id,
                          white_bg=cfg.white_bg, mode="vali")
 
-    pending_xs = None
-    epoch = start_epoch
-    while epoch < epochs:
-        t_epoch = time.time()
-        if run_epoch is not None:
-            n_ep = _chunk_plan(epoch, epochs, period, chunk)
-            xs = pending_xs or _epoch_scan_xs(
-                train_views, cfg, rng, "contrast", store, step,
-                n_epochs=n_ep)
+    if run_epoch is not None:
+        def sample_xs(n_ep):
+            return _epoch_scan_xs(train_views, cfg, rng, "contrast",
+                                  store, step, n_epochs=n_ep)
+
+        def dispatch(xs):
+            nonlocal params, opt_state, step
             params, opt_state, lds = run_epoch(
                 params, opt_state, store.arrays, *xs)
-            step += n_ep * k_steps
-            nxt = epoch + n_ep
-            pending_xs = _epoch_scan_xs(
-                train_views, cfg, rng, "contrast", store, step,
-                n_epochs=_chunk_plan(nxt, epochs, period, chunk)
-            ) if nxt < epochs else None
+            step += int(xs[0].shape[0])
+            return lds
+
+        def fetch(lds, n_ep):
             losses = list(np.asarray(lds["loss"], np.float64))
-            wall = (time.time() - t_epoch) / n_ep
-            for j in range(n_ep):
-                _post_epoch(epoch + j + 1,
-                            losses[j * k_steps:(j + 1) * k_steps], wall)
-            epoch = nxt
-        else:
+            return [losses[j * k_steps:(j + 1) * k_steps]
+                    for j in range(n_ep)]
+
+        _scan_epoch_loop(start_epoch, epochs, period, chunk,
+                         sample_xs, dispatch, fetch, _post_epoch)
+    else:
+        for epoch in range(start_epoch, epochs):
+            t_epoch = time.time()
             losses = []
             for batch in epoch_batches(rng):
                 params, opt_state, ld = step_fn(
@@ -848,6 +879,5 @@ def train_ref_nfr(cfg: dc.DecompConfig, vq_params, light, train_views,
                 losses.append(ld["loss"])  # device; sync at epoch end
                 step += 1
             _post_epoch(epoch + 1, losses, time.time() - t_epoch)
-            epoch += 1
     save_metas(outdir)
     return params, history
