@@ -308,3 +308,34 @@ def test_chunked_epoch_scan_trajectory_identical(tmp_path, trainer,
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b)), p_n, p_1)
+
+
+def test_scan_chunk_auto_policy():
+    """epoch_scan_chunk=None (the default) picks the largest chunk <= 6
+    dividing the ckpt period, so every dispatch reuses ONE compiled scan
+    length; an explicit int (incl. via --preset-override) wins."""
+    run_epoch = object()  # any non-None sentinel
+    # production cadence: 150 epochs -> period 30 -> chunk 6
+    cfg = dataclasses.replace(CFG, epochs=150, epoch_scan_chunk=None)
+    assert loop._resolve_scan_chunk(cfg, run_epoch) == 6
+    # short runs: epochs=4 -> period 2 -> chunk 2; epochs=2 -> period 1
+    assert loop._resolve_scan_chunk(
+        dataclasses.replace(CFG, epochs=4, epoch_scan_chunk=None),
+        run_epoch) == 2
+    assert loop._resolve_scan_chunk(
+        dataclasses.replace(CFG, epochs=2, epoch_scan_chunk=None),
+        run_epoch) == 1
+    # an awkward period still tiles exactly: epochs=20 -> period 10 ->
+    # chunk 5 (6 does not divide 10)
+    cfg20 = dataclasses.replace(CFG, epochs=20, epoch_scan_chunk=None)
+    assert loop._resolve_scan_chunk(cfg20, run_epoch) == 5
+    # explicit values win; no scan path -> always 1
+    assert loop._resolve_scan_chunk(
+        dataclasses.replace(CFG, epochs=150, epoch_scan_chunk=1),
+        run_epoch) == 1
+    assert loop._resolve_scan_chunk(cfg, None) == 1
+    # the CLI override parses the Optional[int] field to an int
+    from vqnerf_release_tpu.cli import _apply_preset_overrides
+    cfg_o = _apply_preset_overrides(CFG, "epoch_scan_chunk=3")
+    assert cfg_o.epoch_scan_chunk == 3
+    assert loop._resolve_scan_chunk(cfg_o, run_epoch) == 3

@@ -237,7 +237,7 @@ def _apply_preset_overrides(cfg, override_str):
     for kv in override_str.split(","):
         k, v = kv.split("=", 1)
         t = types[k]
-        if t in (int, "int"):
+        if t in (int, "int", Optional[int], "Optional[int]"):
             kw[k] = int(v)
         elif t in (float, "float"):
             kw[k] = float(v)

@@ -179,9 +179,20 @@ def _chunk_plan(epoch, epochs, period, chunk):
 
 
 def _resolve_scan_chunk(cfg, run_epoch):
+    """cfg.epoch_scan_chunk: None = auto — the largest chunk <= 6 that
+    divides the ckpt/vali period, so chunked dispatches tile the cadence
+    exactly (every dispatch reuses one compiled scan length; measured
+    1.76x system-level at the production cadence, BASELINE.md r3)."""
     if run_epoch is None:
         return 1
-    return max(1, int(getattr(cfg, "epoch_scan_chunk", 1)))
+    chunk = getattr(cfg, "epoch_scan_chunk", None)
+    if chunk is not None:
+        return max(1, int(chunk))
+    period = cfg_ckpt_period(cfg)
+    for d in range(min(6, period), 0, -1):
+        if period % d == 0:
+            return d
+    return 1
 
 
 def _scan_epoch_loop(start_epoch, epochs, period, chunk, sample_xs,
