@@ -311,9 +311,9 @@ def test_chunked_epoch_scan_trajectory_identical(tmp_path, trainer,
 
 
 def test_scan_chunk_auto_policy():
-    """epoch_scan_chunk=None (the default) picks the largest chunk <= 6
-    dividing the ckpt period, so every dispatch reuses ONE compiled scan
-    length; an explicit int (incl. via --preset-override) wins."""
+    """epoch_scan_chunk=None (the default) picks min(6, ckpt period);
+    chunks clip at period boundaries so at most two scan lengths compile
+    per period tiling. An explicit int (incl. --preset-override) wins."""
     run_epoch = object()  # any non-None sentinel
     # production cadence: 150 epochs -> period 30 -> chunk 6
     cfg = dataclasses.replace(CFG, epochs=150, epoch_scan_chunk=None)
@@ -325,10 +325,18 @@ def test_scan_chunk_auto_policy():
     assert loop._resolve_scan_chunk(
         dataclasses.replace(CFG, epochs=2, epoch_scan_chunk=None),
         run_epoch) == 1
-    # an awkward period still tiles exactly: epochs=20 -> period 10 ->
-    # chunk 5 (6 does not divide 10)
-    cfg20 = dataclasses.replace(CFG, epochs=20, epoch_scan_chunk=None)
-    assert loop._resolve_scan_chunk(cfg20, run_epoch) == 5
+    # a period 6 does not divide still chunks (it must NOT fall back to
+    # per-epoch dispatch): epochs=26 -> period 13 -> chunk 6, and the
+    # plan per period is 6,6,1 — exactly two distinct scan lengths
+    cfg26 = dataclasses.replace(CFG, epochs=26, epoch_scan_chunk=None)
+    assert loop._resolve_scan_chunk(cfg26, run_epoch) == 6
+    sched, e = [], 0
+    while e < 26:
+        n = loop._chunk_plan(e, 26, 13, 6)
+        sched.append(n)
+        e += n
+    assert sched == [6, 6, 1, 6, 6, 1]
+    assert len(set(sched)) == 2
     # explicit values win; no scan path -> always 1
     assert loop._resolve_scan_chunk(
         dataclasses.replace(CFG, epochs=150, epoch_scan_chunk=1),

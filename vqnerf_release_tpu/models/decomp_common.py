@@ -130,13 +130,13 @@ class DecompConfig:
     # amortize the per-dispatch + scalar-fetch round trips that dominate
     # short epochs through the axon tunnel; batches, rng streams, and
     # trajectories are bit-identical to chunk=1 (tests/test_device_store).
-    # None = auto: the largest chunk <= 6 that divides the ckpt/vali
-    # period, so dispatches tile the cadence exactly (no remainder chunk
-    # -> no extra scan-length recompile; production 150 epochs / period
-    # 30 -> chunk 6, measured 1.76x system-level, BASELINE.md r3; beyond
-    # ~6 the serial host-side ray sampling binds). The tradeoff: a NaN
-    # epoch inside a chunk is only observable at chunk end (the
-    # divergence guard checkpoints and labels the end-of-chunk state).
+    # None = auto: min(6, ckpt/vali period) — chunks clip at period
+    # boundaries, so at most two scan lengths compile per period tiling
+    # (production 150 epochs / period 30 -> chunk 6 exactly, measured
+    # 1.76x system-level, BASELINE.md r3; beyond ~6 the serial
+    # host-side ray sampling binds). The tradeoff: a NaN epoch inside a
+    # chunk is only observable at chunk end (the divergence guard
+    # checkpoints and labels the end-of-chunk state).
     epoch_scan_chunk: Optional[int] = None
 
     @property

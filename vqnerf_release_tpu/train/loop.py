@@ -179,20 +179,19 @@ def _chunk_plan(epoch, epochs, period, chunk):
 
 
 def _resolve_scan_chunk(cfg, run_epoch):
-    """cfg.epoch_scan_chunk: None = auto — the largest chunk <= 6 that
-    divides the ckpt/vali period, so chunked dispatches tile the cadence
-    exactly (every dispatch reuses one compiled scan length; measured
-    1.76x system-level at the production cadence, BASELINE.md r3)."""
+    """cfg.epoch_scan_chunk: None = auto — min(6, ckpt/vali period).
+    _chunk_plan clips dispatches at period boundaries, so the run sees at
+    most two scan lengths per period tiling (chunk and period % chunk):
+    one extra compile at worst, against chunked dispatch everywhere
+    (measured 1.76x system-level at the production cadence — period 30,
+    which chunk 6 tiles exactly; BASELINE.md r3). Beyond ~6 epochs per
+    dispatch the serial host-side ray sampling binds."""
     if run_epoch is None:
         return 1
     chunk = getattr(cfg, "epoch_scan_chunk", None)
     if chunk is not None:
         return max(1, int(chunk))
-    period = cfg_ckpt_period(cfg)
-    for d in range(min(6, period), 0, -1):
-        if period % d == 0:
-            return d
-    return 1
+    return min(6, cfg_ckpt_period(cfg))
 
 
 def _scan_epoch_loop(start_epoch, epochs, period, chunk, sample_xs,
