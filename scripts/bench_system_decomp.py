@@ -88,6 +88,7 @@ def run_mode(mode, views, args, root):
     # trailing REMAINDER chunk (epochs % chunk != 0) recompiles for its
     # new scan length — production runs (150 epochs, period 30, chunk
     # dividing the period) never hit one, so exclude it from steady too
+    is_steady = True
     if mode == "chunk":
         full_end = (args.epochs // args.chunk) * args.chunk
         steady = [l["wall_s"] for l in logs[args.chunk:full_end]]
@@ -98,12 +99,14 @@ def run_mode(mode, views, args, root):
                   "to all post-first-chunk epochs (compile-polluted)")
             steady = [l["wall_s"] for l in logs[args.chunk:-1]] \
                 or [l["wall_s"] for l in logs[1:-1]]
+            is_steady = False  # compile-polluted: don't quote as steady
     else:
         steady = [l["wall_s"] for l in logs[1:-1]]
     rays_per_epoch = 2 * cfg.n_rays_per_step * len(views)
     rays_s = rays_per_epoch / float(np.mean(steady))
     return {"mode": mode, "total_s": round(total, 1),
             "steady_epoch_s": round(float(np.mean(steady)), 3),
+            "steady": is_steady,
             "epoch_s_all": [l["wall_s"] for l in logs],
             "rays_per_sec": round(rays_s, 1)}
 

@@ -104,3 +104,15 @@ def test_fused_vq_no_dropout_and_all_dropped():
     o3, _ = vq_ema_apply(cb, x, state, thres=thres, roll=roll,
                          use_pallas=True, interpret=True, **kw)
     assert int(jnp.max(o3["encoding_indices"])) == 0
+
+
+def test_fused_vq_disabled_under_multidevice_mesh():
+    """use_fused_vq is single-device-only: the un-annotated pallas_call
+    cannot partition over the ray mesh, so fused_vq_enabled must fall
+    back to the jnp path under the 8-virtual-device conftest mesh
+    (advisor finding r3: enabling it sharded was untested/unlowered)."""
+    from vqnerf_release_tpu.models import decomp_common as dc
+    assert jax.device_count() > 1  # conftest forces 8 virtual devices
+    cfg = dc.DecompConfig(use_fused_vq=True)
+    assert dc.fused_vq_enabled(cfg) is False
+    assert dc.fused_vq_enabled(dc.DecompConfig(use_fused_vq=None)) is False

@@ -184,10 +184,27 @@ def fused_render_enabled(cfg: DecompConfig):
     return bool(cfg.use_fused_render)
 
 
+_WARNED_FUSED_VQ_MESH = False
+
+
 def fused_vq_enabled(cfg: DecompConfig):
     """Resolve the use_fused_vq auto default (None -> off; see the
-    DecompConfig field comment for the measured rationale)."""
+    DecompConfig field comment for the measured rationale).
+
+    Single-device only: the fused pallas_call carries no sharding
+    annotation, so under a >1-device ray mesh it would at best force an
+    all-gather of the sharded [N, D] inputs per step and at worst fail
+    to lower — fall back to the jnp path (which pjit partitions fine)
+    until a shard_map wrapper exists."""
     if cfg.use_fused_vq is None:
+        return False
+    if cfg.use_fused_vq and jax.device_count() > 1:
+        global _WARNED_FUSED_VQ_MESH
+        if not _WARNED_FUSED_VQ_MESH:
+            print("[vqnerf-tpu] use_fused_vq is single-device-only "
+                  "(un-annotated pallas_call under a %d-device mesh); "
+                  "using the jnp VQ path" % jax.device_count())
+            _WARNED_FUSED_VQ_MESH = True
         return False
     return bool(cfg.use_fused_vq)
 

@@ -341,7 +341,9 @@ def _check_finite(outdir, phase, epoch, scalars, state, state_epoch=None):
     granularity = ("" if state_epoch == epoch else
                    f" (chunked dispatch: the saved state is from "
                    f"end-of-chunk epoch {state_epoch}, the earliest "
-                   "observable after the failure)")
+                   "observable after the failure; rerun the failing "
+                   "window with epoch_scan_chunk=1 to recover per-epoch "
+                   "observability)")
     raise RuntimeError(
         f"{phase}: non-finite training loss at epoch {epoch}: {bad} — "
         f"failing state checkpointed under {dump}{granularity}; resume "
