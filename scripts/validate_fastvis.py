@@ -101,10 +101,12 @@ def main():
     t_fast = time.time() - t0
 
     diff = np.abs(lv_full - lv_fast)
-    # uncertain fraction (recompute the certification mask for the stat)
-    ms = np.zeros((n_fg, ex.n_lights), np.float32)
-    sp = np.zeros_like(ms)
-    fr = np.zeros_like(ms)
+    # uncertain fraction (recompute the certification masks — decided
+    # on device and bit-packed since r4 — for the stat)
+    from vqnerf_release_tpu.pipelines.gen_geo import _unpack_bits
+    L = ex.n_lights
+    frontlit = np.zeros((n_fg, L), bool)
+    uncertain = np.zeros((n_fg, L), bool)
     bs = ex.vis_point_batch
     import jax.numpy as jnp
     for i in range(0, n_fg, bs):
@@ -114,14 +116,11 @@ def main():
         if pad:
             s = np.pad(s, ((0, pad), (0, 0)), constant_values=0.5)
             nn = np.pad(nn, ((0, pad), (0, 0)), constant_values=1.0)
-        a, b, c, _ = ex._coarse_batch(ex.params, jnp.asarray(s),
-                                      jnp.asarray(nn))
+        fp, up, _ = ex._coarse_batch(ex.params, jnp.asarray(s),
+                                     jnp.asarray(nn))
         end = min(i + bs, n_fg) - i
-        ms[i:i + end] = np.asarray(a)[:end]
-        sp[i:i + end] = np.asarray(b)[:end]
-        fr[i:i + end] = np.asarray(c)[:end]
-    uncertain = (fr > 0) & (ms < 0.5 * args.factor * sp)
-    frontlit = fr > 0
+        frontlit[i:i + end] = _unpack_bits(fp, L)[:end]
+        uncertain[i:i + end] = _unpack_bits(up, L)[:end]
 
     print(f"uncertain fraction (of front-lit rays): "
           f"{uncertain.sum() / max(frontlit.sum(), 1):.3f}")

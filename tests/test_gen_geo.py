@@ -264,10 +264,12 @@ def test_fast_vis_matches_full(tmp_path):
     # agreement everywhere within the soft-visibility tolerance
     np.testing.assert_allclose(fast, full, atol=0.05)
     # and the fast path certified a useful fraction as free
-    # (reconstruct its uncertain mask to check the split is non-trivial)
-    ms = np.zeros_like(full)
-    sp = np.zeros_like(full)
-    fl = np.zeros_like(full)
+    # (reconstruct its masks — now decided on device and bit-packed —
+    # to check the split is non-trivial)
+    from vqnerf_release_tpu.pipelines.gen_geo import _unpack_bits
+    L = full.shape[1]
+    fl = np.zeros((n, L), bool)
+    unc = np.zeros((n, L), bool)
     bs = ex_fast.vis_point_batch
     import jax.numpy as jnp
     for i in range(0, n, bs):
@@ -275,12 +277,12 @@ def test_fast_vis_matches_full(tmp_path):
                    constant_values=0.5)
         nn = np.pad(normal[i:i+bs], ((0, max(0, bs-(n-i))), (0, 0)),
                     constant_values=1.0)
-        a, b, c, _ = ex_fast._coarse_batch(params, jnp.asarray(s),
-                                           jnp.asarray(nn))
+        fp, up, _ = ex_fast._coarse_batch(params, jnp.asarray(s),
+                                          jnp.asarray(nn))
         end = min(i+bs, n) - i
-        ms[i:i+end], sp[i:i+end], fl[i:i+end] = (
-            np.asarray(a)[:end], np.asarray(b)[:end], np.asarray(c)[:end])
-    certified = (fl > 0) & (ms >= 0.5 * 2.0 * sp)
+        fl[i:i+end] = _unpack_bits(fp, L)[:end]
+        unc[i:i+end] = _unpack_bits(up, L)[:end]
+    certified = fl & ~unc
     assert certified.sum() > 0, "coarse pass certified nothing"
     # certified rays really are free under the full render
     np.testing.assert_allclose(full[certified], 1.0, atol=0.05)

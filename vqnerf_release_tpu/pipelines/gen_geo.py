@@ -59,6 +59,27 @@ def check_finished(view_dir, with_lvis=True):
     return all(os.path.exists(os.path.join(view_dir, f)) for f in files)
 
 
+def _pack_bits(m):
+    """[B, L] bool -> [B, ceil(L/8)] uint8, MSB-first (np.unpackbits
+    order). Shrinks the device->host mask transfer 8x on top of the
+    bool-vs-fp32 4x — the axon tunnel runs at ~14-25 MB/s (CLAUDE.md),
+    so mask bytes are wall-clock."""
+    b, l = m.shape
+    pad = (-l) % 8
+    if pad:
+        m = jnp.pad(m, ((0, 0), (0, pad)))
+    w = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    # products/sums stay <= 255, so a uint8 accumulator cannot overflow
+    return jnp.sum(m.reshape(b, -1, 8).astype(jnp.uint8) * w, axis=-1,
+                   dtype=jnp.uint8)
+
+
+def _unpack_bits(p, n_bits):
+    """Inverse of _pack_bits on host: [B, ceil(L/8)] uint8 -> [B, L]
+    bool."""
+    return np.unpackbits(np.asarray(p), axis=1)[:, :n_bits].astype(bool)
+
+
 class GeoExtractor:
     def __init__(self, params, cfg: NeuSConfig, dataset, scene_out_dir,
                  use_white_bkgd=True, batch_size=4096, light_h=16,
@@ -228,17 +249,25 @@ class GeoExtractor:
         # occlusion render then runs only on the uncertain rays.
         from ..models import fields as _fields
         n_coarse = self.n_coarse
+        fast_vis_occluded = self.fast_vis_occluded
 
         @jax.jit
         def _coarse_batch(params, surf, normal):
-            """[B] points x all L lights -> (min_sdf, spacing,
-            front_lit, deep_occluded), each [B, L]."""
+            """[B] points x all L lights -> bit-packed (front_lit,
+            uncertain, occluded_certified) masks, each [B, ceil(L/8)]
+            uint8 in np.unpackbits order.
+
+            The margin/certificate decisions run ON DEVICE so only 3
+            bits per ray-light cross the host link (previously 16 fp32
+            bytes: min_sdf/spacing/front/deep — a ~40x transfer cut,
+            which matters at the ~14-25 MB/s tunnel this chip sits
+            behind; see CLAUDE.md)."""
             b = surf.shape[0]
             surf2l = self.lxyz[None, :, :] - surf[:, None, :]
             surf2l = surf2l / jnp.linalg.norm(surf2l, axis=-1,
                                               keepdims=True)
             lcos = jnp.einsum("blk,bk->bl", surf2l, normal)
-            front_lit = (lcos > 0).astype(jnp.float32)
+            front_lit = lcos > 0
 
             tile = self.light_tile
             n_tiles = self.n_lights // tile
@@ -258,24 +287,30 @@ class GeoExtractor:
                     params["sdf"], pts.reshape(-1, 3), cfg.sdf
                 ).reshape(o_rep.shape[0], n_coarse)
                 spac = (far - near)[:, 0] / (n_coarse - 1)
+                # free certificate: min sampled SDF above the
+                # spacing/2 * slack margin -> no crossing possible
+                margin = 0.5 * self.fast_vis_factor * spac
+                lt = jnp.min(sdf, axis=1) < margin
                 # occluded certificate: TWO consecutive samples at or
                 # below -c mean (unit-gradient x factor slack) the whole
                 # interval between them is interior, and c >= 10/s makes
                 # the full render's transmittance through it < 5e-5 —
                 # such rays are provably lvis ~ 0 (see _lvis_fast)
-                c = jnp.maximum(0.5 * self.fast_vis_factor * spac,
-                                10.0 / inv_s)[:, None]
+                c = jnp.maximum(margin, 10.0 / inv_s)[:, None]
                 below = sdf <= -c
                 deep = jnp.any(below[:, :-1] & below[:, 1:], axis=1)
-                return None, (jnp.min(sdf, axis=1).reshape(b, tile),
-                              spac.reshape(b, tile),
-                              deep.astype(jnp.float32).reshape(b, tile))
+                return None, (lt.reshape(b, tile), deep.reshape(b, tile))
 
-            _, (ms, sp, dp) = jax.lax.scan(body, None, d_tiles)
-            ms = ms.transpose(1, 0, 2).reshape(b, self.n_lights)
-            sp = sp.transpose(1, 0, 2).reshape(b, self.n_lights)
+            _, (lt, dp) = jax.lax.scan(body, None, d_tiles)
+            lt = lt.transpose(1, 0, 2).reshape(b, self.n_lights)
             dp = dp.transpose(1, 0, 2).reshape(b, self.n_lights)
-            return ms, sp, front_lit, dp
+            if fast_vis_occluded:
+                occluded = front_lit & dp
+            else:
+                occluded = jnp.zeros_like(front_lit)
+            uncertain = front_lit & lt & ~occluded
+            return (_pack_bits(front_lit), _pack_bits(uncertain),
+                    _pack_bits(occluded))
 
         from ..models.neus import neus_occlusion
 
@@ -299,10 +334,14 @@ class GeoExtractor:
         self._occ_chunk = _occ_chunk
 
     # -- geometry ----------------------------------------------------------
-    def _render_full(self, rays_o, rays_d):
+    def _render_dispatch(self, rays_o, rays_d):
+        """Enqueue every render batch of a view; returns the device
+        outputs WITHOUT blocking. Pulling later (while further device
+        work is queued behind) overlaps the ~14 MB/s tunnel transfer
+        with compute."""
         n = rays_o.shape[0]
-        outs = {"color": [], "weight_sum": [], "surf": [], "normal": []}
         bs = self.batch_size
+        device_outs = []
         for i in range(0, n, bs):
             ro = rays_o[i : i + bs]
             rd = rays_d[i : i + bs]
@@ -320,17 +359,40 @@ class GeoExtractor:
                     jax.device_put(x, sh)
                     for x in (ro_j, rd_j, near_j, far_j))
             out = self._render(self.params, ro_j, rd_j, near_j, far_j)
+            device_outs.append((out, pad))
+        return device_outs
+
+    @staticmethod
+    def _render_pull(device_outs):
+        outs = {"color": [], "weight_sum": [], "surf": [], "normal": []}
+        for out, pad in device_outs:
             for k in outs:
                 v = np.asarray(out[k])
-                outs[k].append(v[: bs - pad] if pad else v)
+                outs[k].append(v[: v.shape[0] - pad] if pad else v)
         return {k: np.concatenate(v, axis=0) for k, v in outs.items()}
 
-    def compute_geo(self, idx, view_dir, alpha_thres=0.5):
+    def _render_full(self, rays_o, rays_d):
+        return self._render_pull(self._render_dispatch(rays_o, rays_d))
+
+    def _submit_write(self, job):
+        """Run the host encode/IO job on the background writer thread
+        when extract_views has one open (the device renders the next
+        view meanwhile), synchronously otherwise."""
+        writer = getattr(self, "_writer", None)
+        if writer is None:
+            job()
+        else:
+            self._pending_writes.append(writer.submit(job))
+
+    def compute_geo(self, idx, view_dir, alpha_thres=0.5, _rendered=None):
         """Render + write the per-view geometry buffers
         (gen_geo.py:259-344)."""
         rays_o, rays_d = self.dataset.gen_rays_at(idx)
         h, w = rays_o.shape[:2]
-        out = self._render_full(rays_o.reshape(-1, 3), rays_d.reshape(-1, 3))
+        if _rendered is None:
+            _rendered = self._render_dispatch(
+                rays_o.reshape(-1, 3), rays_d.reshape(-1, 3))
+        out = self._render_pull(_rendered)
 
         img_rgb = (out["color"].reshape(h, w, 3) * 256).clip(0, 255)
         mask = np.where(out["weight_sum"] > alpha_thres, 1.0, 0.0)
@@ -356,19 +418,23 @@ class GeoExtractor:
         normal_img = (rot_normal * 128 + 128).clip(0, 255)
 
         os.makedirs(view_dir, exist_ok=True)
-        import cv2
-        cv2.imwrite(os.path.join(view_dir, "rgb.png"),
-                    img_rgb[..., ::-1].astype(np.uint8))
-        cv2.imwrite(os.path.join(view_dir, "xyz.png"),
-                    surf[..., ::-1].clip(0, 255).astype(np.uint8))
-        np.save(os.path.join(view_dir, "xyz.npy"),
-                surf.astype(np.float32))
-        cv2.imwrite(os.path.join(view_dir, "alpha.png"),
-                    img_mask[..., 0].astype(np.uint8))
-        cv2.imwrite(os.path.join(view_dir, "normal.png"),
-                    normal_img[..., ::-1].astype(np.uint8))
-        np.save(os.path.join(view_dir, "normal.npy"),
-                rot_normal.astype(np.float32))
+
+        def _write():
+            import cv2
+            cv2.imwrite(os.path.join(view_dir, "rgb.png"),
+                        img_rgb[..., ::-1].astype(np.uint8))
+            cv2.imwrite(os.path.join(view_dir, "xyz.png"),
+                        surf[..., ::-1].clip(0, 255).astype(np.uint8))
+            np.save(os.path.join(view_dir, "xyz.npy"),
+                    surf.astype(np.float32))
+            cv2.imwrite(os.path.join(view_dir, "alpha.png"),
+                        img_mask[..., 0].astype(np.uint8))
+            cv2.imwrite(os.path.join(view_dir, "normal.png"),
+                        normal_img[..., ::-1].astype(np.uint8))
+            np.save(os.path.join(view_dir, "normal.npy"),
+                    rot_normal.astype(np.float32))
+
+        self._submit_write(_write)
         return surf, rot_normal, img_mask / 256.0
 
     # -- visibility --------------------------------------------------------
@@ -394,17 +460,28 @@ class GeoExtractor:
 
         lvis = np.zeros((h, w, self.n_lights), np.float32)
         lvis[alpha] = lvis_hit
-        import cv2
-        lvis_img = (np.mean(lvis, axis=-1, keepdims=True) * 256).clip(0, 255)
-        cv2.imwrite(os.path.join(view_dir, "lvis.png"),
-                    lvis_img.astype(np.uint8))
-        np.save(os.path.join(view_dir, "lvis.npy"), lvis)
+
+        def _write():
+            import cv2
+            lvis_img = (np.mean(lvis, axis=-1, keepdims=True)
+                        * 256).clip(0, 255)
+            cv2.imwrite(os.path.join(view_dir, "lvis.png"),
+                        lvis_img.astype(np.uint8))
+            # the big one: h*w*L fp32 (0.5 GB/view at 512px, 512
+            # lights) — off the critical path on the writer thread
+            np.save(os.path.join(view_dir, "lvis.npy"), lvis)
+
+        os.makedirs(view_dir, exist_ok=True)
+        self._submit_write(_write)
         return lvis
 
     def _lvis_full(self, surf_fg, normal_fg):
         n_fg = surf_fg.shape[0]
         lvis_hit = np.zeros((n_fg, self.n_lights), np.float32)
         bs = self.vis_point_batch
+        # dispatch every batch, then pull: transfers overlap the
+        # still-running device renders
+        device_lv = []
         for i in range(0, n_fg, bs):
             s = surf_fg[i : i + bs]
             nn = normal_fg[i : i + bs]
@@ -412,9 +489,13 @@ class GeoExtractor:
             if pad:
                 s = np.pad(s, ((0, pad), (0, 0)), constant_values=0.5)
                 nn = np.pad(nn, ((0, pad), (0, 0)), constant_values=1.0)
-            lv = np.asarray(self._vis_batch(
+            device_lv.append(self._vis_batch(
                 self.params, jnp.asarray(s), jnp.asarray(nn)))
-            lvis_hit[i : i + bs] = lv[: bs - pad] if pad else lv
+        for j, lv_dev in enumerate(device_lv):
+            i = j * bs
+            lv = np.asarray(lv_dev)
+            end = min(i + bs, n_fg) - i
+            lvis_hit[i : i + end] = lv[:end]
         return lvis_hit
 
     def _lvis_fast(self, surf_fg, normal_fg):
@@ -426,10 +507,9 @@ class GeoExtractor:
         L = self.n_lights
         bs = self.vis_point_batch
 
-        min_sdf = np.zeros((n_fg, L), np.float32)
-        spacing = np.zeros((n_fg, L), np.float32)
-        front = np.zeros((n_fg, L), np.float32)
-        deep = np.zeros((n_fg, L), np.float32)
+        # pass 1: dispatch every coarse sweep, then pull the bit-packed
+        # certificate masks (3 bits/ray-light over the tunnel)
+        packed = []
         for i in range(0, n_fg, bs):
             s = surf_fg[i : i + bs]
             nn = normal_fg[i : i + bs]
@@ -437,19 +517,18 @@ class GeoExtractor:
             if pad:
                 s = np.pad(s, ((0, pad), (0, 0)), constant_values=0.5)
                 nn = np.pad(nn, ((0, pad), (0, 0)), constant_values=1.0)
-            ms, sp, fl, dp = self._coarse_batch(
-                self.params, jnp.asarray(s), jnp.asarray(nn))
+            packed.append(self._coarse_batch(
+                self.params, jnp.asarray(s), jnp.asarray(nn)))
+        front = np.zeros((n_fg, L), bool)
+        uncertain = np.zeros((n_fg, L), bool)
+        occluded = np.zeros((n_fg, L), bool)
+        for j, (fp, up, op) in enumerate(packed):
+            i = j * bs
             end = min(i + bs, n_fg) - i
-            min_sdf[i : i + end] = np.asarray(ms)[:end]
-            spacing[i : i + end] = np.asarray(sp)[:end]
-            front[i : i + end] = np.asarray(fl)[:end]
-            deep[i : i + end] = np.asarray(dp)[:end]
+            front[i : i + end] = _unpack_bits(fp, L)[:end]
+            uncertain[i : i + end] = _unpack_bits(up, L)[:end]
+            occluded[i : i + end] = _unpack_bits(op, L)[:end]
 
-        margin = 0.5 * self.fast_vis_factor * spacing
-        occluded = ((front > 0) & (deep > 0)
-                    if self.fast_vis_occluded
-                    else np.zeros_like(front, bool))
-        uncertain = (front > 0) & (min_sdf < margin) & ~occluded
         occu = np.zeros(n_fg * L, np.float32)
         occu[occluded.ravel()] = 1.0  # provably-occluded: lvis = 0
         u_idx = np.nonzero(uncertain.ravel())[0]
@@ -468,6 +547,7 @@ class GeoExtractor:
 
         lxyz_np = np.asarray(self.lxyz)
         chunk = bs * self.light_tile
+        device_occ = []
         for i in range(0, u_idx.shape[0], chunk):
             idx = u_idx[i : i + chunk]
             o = surf_fg[idx // L]
@@ -479,16 +559,30 @@ class GeoExtractor:
                 o = np.pad(o, ((0, pad), (0, 0)), constant_values=0.5)
                 d = np.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
                 d = d / np.linalg.norm(d, axis=-1, keepdims=True)
-            oc = np.asarray(self._occ_chunk(
-                self.params, jnp.asarray(o), jnp.asarray(d))).reshape(-1)
+            device_occ.append((idx, self._occ_chunk(
+                self.params, jnp.asarray(o), jnp.asarray(d))))
+        for idx, oc_dev in device_occ:
+            oc = np.asarray(oc_dev).reshape(-1)
             occu[idx] = oc[: idx.shape[0]]
-        return front * (1.0 - occu.reshape(n_fg, L))
+        return front.astype(np.float32) * (1.0 - occu.reshape(n_fg, L))
 
     # -- driver ------------------------------------------------------------
     def extract_views(self, is_train=True, num_p=None, p_i=None,
                       no_vis=False, resume=True):
         """Extract all views (or this process's shard) — gen_geo.py:126-180.
+
+        Pipelined across views: view N+1's render batches are enqueued
+        on the device before view N's host work (mask unpack, numpy
+        post-process) runs, and all PNG/npy encode+IO goes through a
+        single background writer thread, so the device never idles on
+        host encode/write and writes land in submission order (the
+        check_finished resume contract is preserved: a view's files
+        appear in the same order as the serial path, lvis last).
+        Buffers are bit-identical to the serial path — only scheduling
+        changes.
         """
+        from concurrent.futures import ThreadPoolExecutor
+
         n_imgs = self.dataset.n_images
         prefix = "train_" if is_train else "val_"
         if num_p is None:
@@ -496,7 +590,9 @@ class GeoExtractor:
         else:
             p_step = math.ceil(n_imgs / num_p)
             frame_range = range(p_i * p_step, (p_i + 1) * p_step)
+
         done = []
+        todo = []
         for idx in frame_range:
             if idx >= n_imgs:
                 break
@@ -504,15 +600,46 @@ class GeoExtractor:
             if resume and check_finished(view_dir, with_lvis=not no_vis):
                 done.append(view_dir)
                 continue
-            alpha_thres = 0.5 if is_train else self.alpha_thres_val
-            surf, normal, mask = self.compute_geo(
-                idx, view_dir, alpha_thres=alpha_thres)
-            if not no_vis:
-                if is_train:
-                    # GT mask for train views (gen_geo.py:175-179)
-                    gt_mask = self.dataset.masks[idx][..., :1]
-                    self.compute_vis(view_dir, surf, normal, gt_mask)
+            todo.append((idx, view_dir))
+
+        self._writer = ThreadPoolExecutor(max_workers=1,
+                                          thread_name_prefix="geo-write")
+        self._pending_writes = []
+        alpha_thres = 0.5 if is_train else self.alpha_thres_val
+        try:
+            lookahead = None  # pre-dispatched render of todo[j]
+            for j, (idx, view_dir) in enumerate(todo):
+                rendered = lookahead
+                if rendered is None:
+                    ro, rd = self.dataset.gen_rays_at(idx)
+                    rendered = self._render_dispatch(
+                        ro.reshape(-1, 3), rd.reshape(-1, 3))
+                if j + 1 < len(todo):
+                    ro, rd = self.dataset.gen_rays_at(todo[j + 1][0])
+                    lookahead = self._render_dispatch(
+                        ro.reshape(-1, 3), rd.reshape(-1, 3))
                 else:
-                    self.compute_vis(view_dir, surf, normal, mask)
-            done.append(view_dir)
-        return done
+                    lookahead = None
+                surf, normal, mask = self.compute_geo(
+                    idx, view_dir, alpha_thres=alpha_thres,
+                    _rendered=rendered)
+                if not no_vis:
+                    if is_train:
+                        # GT mask for train views (gen_geo.py:175-179)
+                        gt_mask = self.dataset.masks[idx][..., :1]
+                        self.compute_vis(view_dir, surf, normal, gt_mask)
+                    else:
+                        self.compute_vis(view_dir, surf, normal, mask)
+                done.append(view_dir)
+        finally:
+            writer = self._writer
+            pending = self._pending_writes
+            self._writer = None
+            self._pending_writes = []
+            try:
+                for f in pending:
+                    f.result()  # surface the first write failure
+            finally:
+                writer.shutdown(wait=True)
+        # frame order (skipped views were collected before processed ones)
+        return sorted(done)
