@@ -35,6 +35,10 @@ CONFIGS = [
     # importance samples keeps all four scenes above the reference bar
     # (plate margin +0.2 dB, confirmed over two runs) at 75.9k rays/s
     ("occ 24+8r2/128", ["--geo-sampler", "24+8r2", "--occ-res", "128"]),
+    # r4 candidate: same sampler + per-ray-adaptive work — rays with a
+    # provably-empty occupancy span render with the cheap 8-sample tier
+    ("adpt 24+8r2/128", ["--geo-sampler", "24+8r2", "--occ-res", "128",
+                         "--adaptive-empty"]),
 ]
 
 

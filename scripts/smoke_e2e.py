@@ -165,6 +165,12 @@ def main():
     ap.add_argument("--occ-floor", type=float, default=0.05,
                     help="uniform floor of the occupancy sampling PDF "
                          "(guardrail tuning handle)")
+    ap.add_argument("--adaptive-empty", action="store_true",
+                    help="two-tier per-ray-adaptive stage-1 step: rays "
+                         "with a provably-empty occupancy span render "
+                         "with the cheap tier (requires --occ-res)")
+    ap.add_argument("--empty-n-samples", type=int, default=8,
+                    help="cheap-tier sample count for --adaptive-empty")
     args = ap.parse_args()
 
     from vqnerf_release_tpu.data.neus_dataset import NerfSceneDataset
@@ -204,6 +210,8 @@ def main():
                            val_freq=10**9, use_white_bkgd=True,
                            occ_res=args.occ_res,
                            occ_floor=args.occ_floor,
+                           adaptive_empty=args.adaptive_empty,
+                           empty_n_samples=args.empty_n_samples,
                            steps_per_dispatch=8)
     runner = NeuSRunner(cfg1, tcfg, ds, join(root, "exp"), seed=0)
     runner.train(log_every=max(args.geo_iters // 8, 1))

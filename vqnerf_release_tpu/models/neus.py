@@ -185,11 +185,17 @@ def _render_core(params, cfg: NeuSConfig, rays_o, rays_d, z_vals, sample_dist,
 
     grad_img = gradients.reshape(batch_size, n_samples, 3)
     gradient_error = (jnp.linalg.norm(grad_img, axis=-1) - 1.0) ** 2
-    gradient_error = jnp.sum(relax_inside * gradient_error) / (
-        jnp.sum(relax_inside) + 1e-5)
+    # un-normalized sum/count too, so a caller rendering a batch in
+    # several tiers (adaptive empty-ray skip, neus_trainer) can combine
+    # them into the reference's single all-points mean
+    grad_err_sum = jnp.sum(relax_inside * gradient_error)
+    grad_err_cnt = jnp.sum(relax_inside)
+    gradient_error = grad_err_sum / (grad_err_cnt + 1e-5)
 
     return {
         "color": color,
+        "grad_err_sum": grad_err_sum,
+        "grad_err_cnt": grad_err_cnt,
         "sdf": sdf,
         "dists": dists,
         "gradients": grad_img,
@@ -326,6 +332,8 @@ def neus_render(params, cfg: NeuSConfig, rays_o, rays_d, near, far, radius,
     weights_sum = jnp.sum(weights, axis=-1, keepdims=True)
     return {
         "color_fine": ret["color"],
+        "grad_err_sum": ret["grad_err_sum"],
+        "grad_err_cnt": ret["grad_err_cnt"],
         "s_val": jnp.full((batch_size, 1), ret["s_val"]),
         "cdf_fine": ret["cdf"],
         "weight_sum": weights_sum,

@@ -98,13 +98,16 @@ def vq_encode(params, xyz, cfg):
 
 
 def vq_nfr_forward(params, ema_state, batch, cfg: dc.DecompConfig, lxyz,
-                   lareas, mode="train", thres=None, rng=None):
+                   lareas, mode="train", thres=None, rng=None, roll=None):
     """Training/validation forward (vq_nfr.py:534-692).
 
     Returns (pred, aux, new_ema_state). ``aux['codebook_update']`` holds the
     EMA-updated raw codebook in training mode; the caller assigns it into
     params AFTER the gradient step (mirroring the reference's .assign at
     :580-583 which bypasses gradients).
+
+    roll: optional explicit [1, K] dropout uniforms overriding the rng
+    draw (reference-differential tests align the TF/JAX streams with it).
     """
     mask, xyz, surf2c, surf2l, normal_pred, lvis = _geom(batch, cfg, lxyz)
 
@@ -114,6 +117,7 @@ def vq_nfr_forward(params, ema_state, batch, cfg: dc.DecompConfig, lxyz,
         codebook, z_norm, ema_state,
         commitment_cost=cfg.commitment_cost, decay=cfg.vq_decay,
         is_training=(mode == "train"), thres=thres, rng=rng, mask=mask,
+        roll=roll,
         use_pallas=(mode == "train" and dc.fused_vq_enabled(cfg)))
     z_vq = vq_outs["quantize"]
     embed_ind = vq_outs["encoding_indices"] + 1  # 0 reserved for background

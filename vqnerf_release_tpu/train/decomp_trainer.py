@@ -119,9 +119,14 @@ def make_vq_nfr_step(cfg: dc.DecompConfig, lxyz, lareas):
     tx = _amsgrad(cfg)
 
     def loss_fn(params, ema_state, batch, thres, rng):
+        # "_roll" (optional, [1, K]): explicit dropout uniforms — the
+        # trained-parity harness aligns the TF/JAX rng streams with it;
+        # production batches never carry the key
+        batch = dict(batch)
+        roll = batch.pop("_roll", None)
         _, aux, new_ema = vq_nfr_forward(
             params, ema_state, batch, cfg, lxyz, lareas, mode="train",
-            thres=thres, rng=rng)
+            thres=thres, rng=rng, roll=roll)
         loss, ld = vq_nfr_loss(params, aux, cfg, mode="train")
         return loss, (ld, new_ema, aux["codebook_update"])
 

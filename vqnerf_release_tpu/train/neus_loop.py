@@ -41,19 +41,27 @@ class NeuSRunner:
         self.iter_step = 0
         self.radius = float(dataset.max_radius)
         self._with_occ = tcfg.occ_res > 0
-        self._step_fn = jax.jit(make_neus_train_step(
-            cfg, tcfg, self.radius, with_occ=self._with_occ))
-        self._multi_cache = {}
+        self._adaptive = tcfg.adaptive_empty and self._with_occ
+        self._active_cap = None
+        self._fn_cache = {}
 
-        def _multi_fns(k):
-            if k not in self._multi_cache:
+        def _step_fns(k, cap=None):
+            ck = (k, cap)
+            if ck not in self._fn_cache:
                 from .neus_trainer import make_neus_multi_step
-                self._multi_cache[k] = jax.jit(make_neus_multi_step(
-                    cfg, tcfg, self.radius, k,
-                    with_occ=self._with_occ))
-            return self._multi_cache[k]
+                if k == 1:
+                    fn = make_neus_train_step(
+                        cfg, tcfg, self.radius, with_occ=self._with_occ,
+                        active_cap=cap)
+                else:
+                    fn = make_neus_multi_step(
+                        cfg, tcfg, self.radius, k,
+                        with_occ=self._with_occ, active_cap=cap)
+                self._fn_cache[ck] = jax.jit(fn)
+            return self._fn_cache[ck]
 
-        self._multi_fns = _multi_fns
+        self._step_fns = _step_fns
+        self._step_fn = _step_fns(1)  # jit is lazy; kept for direct use
         self._occ_grid = None
         self._occ_built_at = -1
         if self._with_occ:
@@ -61,6 +69,17 @@ class NeuSRunner:
             self._build_occ = jax.jit(lambda p: build_occ_grid(
                 p, cfg.sdf, radius=self.radius, res=tcfg.occ_res,
                 margin_factor=tcfg.occ_margin))
+        if self._adaptive:
+            from ..ops.occupancy import ray_occupied_span
+            self._probe_rng = np.random.RandomState(seed + 17)
+
+            @jax.jit
+            def _probe_frac(grid, ro, rd, near, far):
+                _, _, any_occ = ray_occupied_span(
+                    ro, rd, near, far, grid, self.radius)
+                return jnp.mean(any_occ)
+
+            self._probe_frac = _probe_frac
 
         @jax.jit
         def _render_val(params, rays_o, rays_d, near, far):
@@ -72,6 +91,34 @@ class NeuSRunner:
                     "weight_sum": out["weight_sum"]}
 
         self._render_val = _render_val
+
+    def _pick_cap(self):
+        """Active capacity for the two-tier adaptive step
+        (NeuSTrainConfig.adaptive_empty): probe the active-ray fraction
+        on a few random views against the FRESH occupancy grid, take the
+        max, add margin, and quantize UP to batch/8 — at most 8 compiled
+        step variants per K, and active rays beyond a stale cap degrade
+        gracefully into the cheap tier (observable as overflow_frac).
+        Returns None (plain full-budget step) when everything is active,
+        e.g. early training when the grid is still a fat sphere band."""
+        import math
+
+        ds = self.dataset
+        fracs = []
+        for _ in range(4):
+            img = int(self._probe_rng.randint(ds.n_images))
+            data = ds.gen_random_rays(
+                img, self.tcfg.batch_size, self._probe_rng)
+            near, far = ds.near_far(data["rays_o"], data["rays_d"])
+            fracs.append(float(self._probe_frac(
+                self._occ_grid, jnp.asarray(data["rays_o"]),
+                jnp.asarray(data["rays_d"]), jnp.asarray(near),
+                jnp.asarray(far))))
+        cap_frac = min(1.0, max(fracs) * 1.15 + 0.05)
+        cap = math.ceil(cap_frac * 8) / 8.0
+        if cap >= 1.0:
+            return None
+        return int(cap * self.tcfg.batch_size)
 
     # -- checkpointing (nerf_runner.py:210-232) ----------------------------
     def save_checkpoint(self, subdir=None):
@@ -133,6 +180,8 @@ class NeuSRunner:
                     - self._occ_built_at >= self.tcfg.occ_update_freq):
                 self._occ_grid = self._build_occ(self.params["sdf"])
                 self._occ_built_at = self.iter_step
+                if self._adaptive:
+                    self._active_cap = self._pick_cap()
             self.key, sub = jax.random.split(self.key)
             if k > 1:
                 batches = [host_batch() for _ in range(k)]
@@ -144,7 +193,7 @@ class NeuSRunner:
                 if self._with_occ:
                     args = args + (self._occ_grid,)
                 self.params, self.opt_state, metrics = \
-                    self._multi_fns(k)(*args)
+                    self._step_fns(k, self._active_cap)(*args)
             else:
                 batch = {key_: jnp.asarray(v)
                          for key_, v in host_batch().items()}
@@ -152,8 +201,8 @@ class NeuSRunner:
                              jnp.asarray(self.iter_step, jnp.float32))
                 if self._with_occ:
                     step_args = step_args + (self._occ_grid,)
-                self.params, self.opt_state, metrics = self._step_fn(
-                    *step_args)
+                self.params, self.opt_state, metrics = self._step_fns(
+                    1, self._active_cap)(*step_args)
             self.iter_step += k
             if log_every and crossed(log_every, k):
                 from .loop import _sync_scalar_dicts

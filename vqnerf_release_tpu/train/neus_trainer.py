@@ -57,6 +57,21 @@ class NeuSTrainConfig:
     # 14.3 ms compute per step through the axon tunnel). Checkpoint /
     # validation cadence quantizes to K.
     steps_per_dispatch: int = 1
+    # Per-ray-adaptive work (requires occ_res > 0): rays whose
+    # occupancy span is provably empty (ray_occupied_span certificate —
+    # the grid's conservative margin says no surface anywhere along the
+    # ray) render with a cheap empty_n_samples uniform tier instead of
+    # the full n_samples+n_importance chain. Static shapes: a stable
+    # argsort packs active rays first and a fixed active capacity
+    # (chosen by the runner from a probed active fraction, quantized to
+    # batch/8) splits the two tiers; active rays beyond the capacity
+    # fall into the cheap tier (the occ-PDF still concentrates their
+    # few samples — graceful, and the overflow_frac metric exposes it).
+    # Every ray keeps every loss term with real gradients; only the
+    # sample budget is adaptive. The reference spends the full budget
+    # on every ray (renderer.py:311-355).
+    adaptive_empty: bool = False
+    empty_n_samples: int = 8
     # skip (zero-update) any step whose gradients are non-finite instead
     # of letting one poisoned batch corrupt every parameter through adam
     # (production hardening; the divergence guard in the loop remains
@@ -85,7 +100,7 @@ def init_neus_opt_state(params):
 
 
 def make_neus_train_step(cfg: NeuSConfig, tcfg: NeuSTrainConfig, radius,
-                         with_occ=False):
+                         with_occ=False, active_cap=None):
     """Returns jittable fn(params, opt_state, batch, key, step) ->
     (params, opt_state, metrics) — plus a trailing occ_grid argument
     when with_occ (the loop rebuilds the grid every occ_update_freq
@@ -93,16 +108,85 @@ def make_neus_train_step(cfg: NeuSConfig, tcfg: NeuSTrainConfig, radius,
 
     batch: rays_o/rays_d [R,3], rgb [R,3], mask [R,1], near/far [R,1],
     valid [R,1] (1 for real rays, 0 for shard padding).
+
+    active_cap (requires with_occ): the two-tier adaptive split — the
+    first active_cap rays after the active-first stable sort render
+    with the full sampler, the rest with the cheap
+    tcfg.empty_n_samples tier (see NeuSTrainConfig.adaptive_empty).
     """
     adam = optax.scale_by_adam()
+    if active_cap is not None and not with_occ:
+        raise ValueError("active_cap requires with_occ (the empty-ray "
+                         "certificate reads the occupancy grid)")
+
+    def _two_tier_render(params, batch, key, anneal, occ_grid):
+        """Active-first sort, full render on [:cap], cheap on [cap:].
+        Returns (out-dict, permuted batch, extra metrics); every loss
+        term below is permutation-invariant, so the caller just uses
+        the permuted batch."""
+        from dataclasses import replace as _replace
+
+        from ..ops.occupancy import ray_occupied_span
+        background_rgb = jnp.ones((1, 3)) if tcfg.use_white_bkgd else None
+        n = batch["rays_o"].shape[0]
+        _, _, any_occ = ray_occupied_span(
+            batch["rays_o"], batch["rays_d"], batch["near"],
+            batch["far"], occ_grid, radius)
+        active = any_occ[:, 0] > 0
+        order = jnp.argsort(jnp.where(active, 0, 1))  # stable in jax
+        bp = {k: v[order] for k, v in batch.items()}
+        ka = kb = None
+        if key is not None:
+            ka, kb = jax.random.split(key)
+        out_a = neus_render(
+            params, cfg, bp["rays_o"][:active_cap],
+            bp["rays_d"][:active_cap], bp["near"][:active_cap],
+            bp["far"][:active_cap], radius, key=ka,
+            background_rgb=background_rgb, cos_anneal_ratio=anneal,
+            use_pallas=tcfg.use_pallas, occ_grid=occ_grid,
+            occ_floor=tcfg.occ_floor)
+        cheap_cfg = _replace(cfg, n_samples=tcfg.empty_n_samples,
+                             n_importance=0, up_sample_steps=0)
+        out_b = neus_render(
+            params, cheap_cfg, bp["rays_o"][active_cap:],
+            bp["rays_d"][active_cap:], bp["near"][active_cap:],
+            bp["far"][active_cap:], radius, key=kb,
+            background_rgb=background_rgb, cos_anneal_ratio=anneal,
+            occ_grid=occ_grid, occ_floor=tcfg.occ_floor)
+        n_active = jnp.sum(active.astype(jnp.float32))
+        out = {
+            "color_fine": jnp.concatenate(
+                [out_a["color_fine"], out_b["color_fine"]], axis=0),
+            "weight_sum": jnp.concatenate(
+                [out_a["weight_sum"], out_b["weight_sum"]], axis=0),
+            # the reference's Eikonal is one mean over every sampled
+            # point of the batch (renderer.py:278-282) — recombine the
+            # tiers' sums/counts rather than averaging their means
+            "gradient_error": (
+                (out_a["grad_err_sum"] + out_b["grad_err_sum"])
+                / (out_a["grad_err_cnt"] + out_b["grad_err_cnt"] + 1e-5)),
+            "s_val": out_a["s_val"],
+        }
+        extras = {
+            "active_frac": n_active / n,
+            "overflow_frac": jax.nn.relu(n_active - active_cap) / n,
+        }
+        return out, bp, extras
 
     def loss_fn(params, batch, key, anneal, occ_grid=None):
-        background_rgb = jnp.ones((1, 3)) if tcfg.use_white_bkgd else None
-        out = neus_render(
-            params, cfg, batch["rays_o"], batch["rays_d"], batch["near"],
-            batch["far"], radius, key=key, background_rgb=background_rgb,
-            cos_anneal_ratio=anneal, use_pallas=tcfg.use_pallas,
-            occ_grid=occ_grid, occ_floor=tcfg.occ_floor)
+        extras = {}
+        if active_cap is not None:
+            out, batch, extras = _two_tier_render(
+                params, batch, key, anneal, occ_grid)
+        else:
+            background_rgb = jnp.ones((1, 3)) \
+                if tcfg.use_white_bkgd else None
+            out = neus_render(
+                params, cfg, batch["rays_o"], batch["rays_d"],
+                batch["near"], batch["far"], radius, key=key,
+                background_rgb=background_rgb,
+                cos_anneal_ratio=anneal, use_pallas=tcfg.use_pallas,
+                occ_grid=occ_grid, occ_floor=tcfg.occ_floor)
         valid = batch["valid"]
         if tcfg.mask_weight > 0:
             mask = (batch["mask"] > 0.5).astype(jnp.float32) * valid
@@ -127,7 +211,7 @@ def make_neus_train_step(cfg: NeuSConfig, tcfg: NeuSTrainConfig, radius,
         metrics = {
             "loss": loss, "color_loss": color_loss,
             "eikonal_loss": eikonal_loss, "mask_loss": mask_loss,
-            "psnr": psnr, "s_val": jnp.mean(out["s_val"]),
+            "psnr": psnr, "s_val": jnp.mean(out["s_val"]), **extras,
         }
         return loss, metrics
 
@@ -163,7 +247,7 @@ def make_neus_train_step(cfg: NeuSConfig, tcfg: NeuSTrainConfig, radius,
 
 
 def make_neus_multi_step(cfg: NeuSConfig, tcfg: NeuSTrainConfig, radius,
-                         k, with_occ=False):
+                         k, with_occ=False, active_cap=None):
     """K chained optimizer steps in ONE dispatch (lax.scan).
 
     fn(params, opt_state, batches, key, base_step[, occ_grid]) ->
@@ -171,7 +255,8 @@ def make_neus_multi_step(cfg: NeuSConfig, tcfg: NeuSTrainConfig, radius,
     batch dict with a leading [K] axis. Step indices base_step..+k-1
     drive the LR/anneal schedules exactly as k single steps would.
     """
-    step_fn = make_neus_train_step(cfg, tcfg, radius, with_occ=with_occ)
+    step_fn = make_neus_train_step(cfg, tcfg, radius, with_occ=with_occ,
+                                   active_cap=active_cap)
 
     def multi_step(params, opt_state, batches, key, base_step,
                    occ_grid=None):
