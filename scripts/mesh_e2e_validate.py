@@ -1,0 +1,81 @@
+"""Full-pipeline e2e smoke on the 8-virtual-device CPU mesh
+(r3 VERDICT weak #5/#8): run scripts/smoke_e2e.py — geo train ->
+extraction -> 3 decomp phases -> 4-pass test — as ONE pipeline under
+xla_force_host_platform_device_count=8, for each device-view store
+variant (auto/u8/shard), and assert output-tree completeness plus
+recon-PSNR agreement across the variants.
+
+Usage:  python scripts/mesh_e2e_validate.py [--quick]
+(CPU-only; no TPU needed. ~tens of minutes — jit compiles dominate.)
+"""
+
+import argparse
+import importlib.util
+import json
+import os
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8").strip()
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, os.path.dirname(HERE))
+
+
+def _smoke():
+    spec = importlib.util.spec_from_file_location(
+        "smoke_e2e", os.path.join(HERE, "smoke_e2e.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/vqnerf_mesh_e2e")
+    ap.add_argument("--geo-iters", type=int, default=250)
+    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--imh", type=int, default=32)
+    ap.add_argument("--variants", default="auto,u8,shard")
+    ap.add_argument("--psnr-tol", type=float, default=0.15,
+                    help="max |recon PSNR delta| vs the fp32 'auto' "
+                         "store (u8 quantizes lvis to ±1/510)")
+    args = ap.parse_args()
+
+    assert jax.device_count() == 8, jax.devices()
+    smoke = _smoke()
+    results = {}
+    for variant in args.variants.split(","):
+        root = os.path.join(args.root, variant)
+        sys.argv = [
+            "smoke_e2e.py", "--root", root, "--imh", str(args.imh),
+            "--geo-iters", str(args.geo_iters),
+            "--epochs", str(args.epochs), "--geo-sampler", "16+8r2",
+            "--occ-res", "32", "--fast-vis",
+            "--device-views", variant,
+        ]
+        print(f"==== variant {variant} ====", flush=True)
+        out = smoke.main()
+        assert out.get("recon_psnr") is not None, out
+        assert all(len(h) for h in [out["losses"]]), out
+        results[variant] = out
+        print(f"==== {variant}: recon {out['recon_psnr']:.2f} dB, "
+              f"geo {out['geo_psnr']:.2f} dB", flush=True)
+
+    base = results.get("auto") or next(iter(results.values()))
+    for variant, out in results.items():
+        d = abs(out["recon_psnr"] - base["recon_psnr"])
+        status = "OK" if d <= args.psnr_tol else "FAIL"
+        print(f"{variant}: recon {out['recon_psnr']:.3f} dB "
+              f"(|delta| {d:.3f} vs auto) {status}", flush=True)
+        assert d <= args.psnr_tol, (variant, d)
+    print(json.dumps({v: r["recon_psnr"] for v, r in results.items()}))
+    print("MESH E2E OK")
+
+
+if __name__ == "__main__":
+    main()

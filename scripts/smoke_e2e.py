@@ -165,6 +165,10 @@ def main():
     ap.add_argument("--occ-floor", type=float, default=0.05,
                     help="uniform floor of the occupancy sampling PDF "
                          "(guardrail tuning handle)")
+    ap.add_argument("--device-views", default=None,
+                    choices=["auto", "on", "u8", "shard", "off"],
+                    help="stage-2 view staging mode (data/device_store); "
+                         "default: the DecompConfig default ('auto')")
     ap.add_argument("--adaptive-empty", action="store_true",
                     help="two-tier per-ray-adaptive stage-1 step: rays "
                          "with a provably-empty occupancy span render "
@@ -243,7 +247,9 @@ def main():
         light_h=args.light_h, imh=args.imh, num_embed=6, num_drop=4,
         thres_str="0.1;0.2;0.3;0.4", z_dim=64, mlp_width=64,
         n_rays_per_step=512, epochs=args.epochs, total_sample_vq=20000,
-        light_init_val=0.5)
+        light_init_val=0.5,
+        **({"device_views": args.device_views}
+           if args.device_views else {}))
 
     def views(mode, with_ref=False):
         d = ShapeDataset(scene_dir, surf_root, data_type="nerf",

@@ -118,6 +118,109 @@ def test_edit_web_ui_roundtrip(tmp_path):
         httpd.shutdown()
 
 
+def _mask_png_data_url(mask):
+    import base64
+
+    import cv2
+    rgba = np.zeros(mask.shape + (4,), np.uint8)
+    rgba[mask] = (255, 0, 255, 255)
+    ok, buf = cv2.imencode(".png", rgba[..., [2, 1, 0, 3]])
+    assert ok
+    return ("data:image/png;base64,"
+            + base64.b64encode(buf.tobytes()).decode())
+
+
+def test_edit_web_paint_and_custom_brdf(tmp_path):
+    """r3 VERDICT #7 (ui4.py:496+ edit surface): paint/upload a mask
+    over HTTP and submit NUMERIC BRDF values; the server must write the
+    painted mask npys and the custom dst.json dict."""
+    views_dir = str(tmp_path / "pd_vq")
+    root = str(tmp_path / "edit_root")
+    os.makedirs(views_dir)
+    os.makedirs(root)
+    embeds = _mk_views(views_dir)
+    h, w = embeds[0].shape
+
+    httpd = serve_edit_ui(root, views_dir, port=0, serve_forever=False)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        # paint a blob on view 1 (data-URL PNG, as canvas.toDataURL
+        # produces); view 0 keeps the clicked segment
+        _req(port, "/api/select", {"view": 0, "x": 2, "y": 3})  # id 1
+        painted = np.zeros((h, w), bool)
+        painted[2:5, 3:7] = True
+        r = _req(port, "/api/mask",
+                 {"view": 1, "mask_png": _mask_png_data_url(painted)})
+        assert r["count"] == int(painted.sum())
+
+        custom = {"diff": [0.8, 0.1, 0.1], "spec": [0.04, 0.04, 0.04],
+                  "rough": [0.4]}
+        _req(port, "/api/submit", {"material": custom,
+                                   "env": "original"})
+        dst = json.load(open(join(root, "edited", "dst.json")))
+        assert dst == custom
+        # view 0: the segment mask; view 1: the painted mask wins
+        m0 = np.load(join(root, "edited", "batch%09d.npy" % 0))
+        np.testing.assert_array_equal(m0, embeds[0] == 1)
+        m1 = np.load(join(root, "edited", "batch%09d.npy" % 1))
+        np.testing.assert_array_equal(m1, painted)
+
+        # keep-channel convention passes validation (-1 = keep)
+        _req(port, "/api/submit", {
+            "material": {"diff": [-1.0, 0, 0], "spec": [0.5, 0.5, 0.5],
+                         "rough": [0.2]}, "env": "original"})
+
+        # clear wipes BOTH the segment selection and painted masks
+        _req(port, "/api/clear", {})
+        import urllib.error
+        try:
+            _req(port, "/api/submit", {"material": "gold",
+                                       "env": "original"})
+            assert False, "expected HTTP 400 after clear"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "no selection" in json.loads(e.read())["error"]
+
+        # out-of-range custom values are rejected
+        _req(port, "/api/select", {"view": 0, "x": 2, "y": 3})
+        try:
+            _req(port, "/api/submit", {
+                "material": {"diff": [2.0, 0, 0],
+                             "spec": [0, 0, 0], "rough": [0.2]},
+                "env": "original"})
+            assert False, "expected HTTP 400 for out-of-range BRDF"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "[0, 1]" in json.loads(e.read())["error"]
+        # wrong-shape mask rejected
+        bad = np.zeros((h + 2, w), bool)
+        try:
+            _req(port, "/api/mask",
+                 {"view": 0, "mask_png": _mask_png_data_url(bad)})
+            assert False, "expected HTTP 400 for wrong-shape mask"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "shape" in json.loads(e.read())["error"]
+        # painted-only submit works (no segment click needed)
+        _req(port, "/api/clear", {})
+        _req(port, "/api/mask",
+             {"view": 1, "mask_png": _mask_png_data_url(painted)})
+        _req(port, "/api/submit", {"material": "gold",
+                                   "env": "original"})
+        m0 = np.load(join(root, "edited", "batch%09d.npy" % 0))
+        assert m0.sum() == 0
+        m1 = np.load(join(root, "edited", "batch%09d.npy" % 1))
+        np.testing.assert_array_equal(m1, painted)
+        # and the page carries the new controls
+        page = _req(port, "/")
+        for frag in (b"paint", b"erase", b"custom", b"upload", b"brush"):
+            assert frag in page, frag
+    finally:
+        httpd.shutdown()
+
+
 def test_cli_has_edit_ui_subcommand(tmp_path, monkeypatch):
     """`edit-ui` dispatches to serve_edit_ui with the parsed args."""
     from vqnerf_release_tpu import cli

@@ -54,24 +54,50 @@ _PAGE = """<!doctype html>
  </div>
 </div>
 <div>
+ mode <select id="mode"><option>segment</option><option>paint</option>
+      <option>erase</option></select>
+ brush <input type="range" id="brush" min="1" max="40" value="8"
+        style="vertical-align:middle">
+ mask <input type="file" id="upload" accept="image/png"
+      style="max-width:14em">
+</div>
+<div>
  material <select id="mat"></select>
+ <span id="custom" style="display:none">
+  diff <input id="d0" class="b" value="0.8"><input id="d1" class="b"
+   value="0.1"><input id="d2" class="b" value="0.1">
+  spec <input id="s0" class="b" value="0.04"><input id="s1" class="b"
+   value="0.04"><input id="s2" class="b" value="0.04">
+  rough <input id="r0" class="b" value="0.4">
+ </span>
  illumination <select id="env"></select>
  <button id="submit">apply edit</button>
  <button id="clear">clear selection</button>
  <span id="status">idle</span>
 </div>
+<style>.b{width:3.2em}</style>
 <div class="row" id="results"></div>
 <script>
-let S={views:[],sel:null};
+let S={views:[],sel:null,paint:null,drawing:false,painted:false};
 const $=id=>document.getElementById(id);
 async function j(url,body){const r=await fetch(url,body?{method:'POST',
  body:JSON.stringify(body)}:{});return r.json();}
 async function init(){
  const info=await j('/api/views');S.views=info.views;
  $('view').innerHTML=info.views.map(v=>`<option>${v}</option>`).join('');
- $('mat').innerHTML=info.materials.map(m=>`<option>${m}</option>`).join('');
+ $('mat').innerHTML=info.materials.map(m=>`<option>${m}</option>`).join('')
+  +'<option>custom</option>';
  $('env').innerHTML=info.envs.map(e=>`<option>${e}</option>`).join('');
- $('view').onchange=draw;$('overlay').onchange=draw;draw();poll();
+ $('view').onchange=()=>{S.paint=null;S.painted=false;draw();};
+ $('overlay').onchange=draw;
+ $('mat').onchange=()=>{$('custom').style.display=
+  $('mat').value=='custom'?'inline':'none';};
+ draw();poll();
+}
+function paintLayer(w,h){
+ if(!S.paint){S.paint=document.createElement('canvas');
+  S.paint.width=w;S.paint.height=h;}
+ return S.paint;
 }
 function draw(){
  const v=$('view').value,cv=$('cv'),ctx=cv.getContext('2d');
@@ -80,15 +106,44 @@ function draw(){
   ctx.drawImage(img,0,0);
   if(S.sel&&S.sel.view==v&&$('overlay').checked){
    const ov=new Image();ov.onload=()=>{ctx.globalAlpha=.45;
-    ctx.drawImage(ov,0,0);ctx.globalAlpha=1;};
-   ov.src='data:image/png;base64,'+S.sel.mask_png;}}
+    ctx.drawImage(ov,0,0);ctx.globalAlpha=1;redrawPaint(ctx);};
+   ov.src='data:image/png;base64,'+S.sel.mask_png;}
+  else redrawPaint(ctx);}
  img.src=`/view/${v}/pred_rgb.png?${Date.now()}`;
  $('embed').src=`/view/${v}/embed_map.png`;
 }
-$('cv').onclick=async e=>{
+function redrawPaint(ctx){
+ if(S.paint){ctx.globalAlpha=.45;ctx.drawImage(S.paint,0,0);
+  ctx.globalAlpha=1;}
+}
+function canvasXY(e){
  const cv=$('cv'),r=cv.getBoundingClientRect();
- const x=Math.floor((e.clientX-r.left)*cv.width/r.width);
- const y=Math.floor((e.clientY-r.top)*cv.height/r.height);
+ return [Math.floor((e.clientX-r.left)*cv.width/r.width),
+         Math.floor((e.clientY-r.top)*cv.height/r.height)];
+}
+function dab(x,y){
+ const cv=$('cv'),p=paintLayer(cv.width,cv.height),c=p.getContext('2d');
+ c.globalCompositeOperation=
+  $('mode').value=='erase'?'destination-out':'source-over';
+ c.fillStyle='rgba(255,0,255,1)';
+ c.beginPath();c.arc(x,y,+$('brush').value,0,7);c.fill();
+ S.painted=true;draw();
+}
+async function pushMask(){
+ if(!S.painted||!S.paint)return;
+ const r=await j('/api/mask',{view:+$('view').value,
+                              mask_png:S.paint.toDataURL()});
+ $('status').textContent=r.error||`painted mask: ${r.count} px`;
+}
+$('cv').onmousedown=e=>{
+ if($('mode').value=='segment')return;
+ S.drawing=true;dab(...canvasXY(e));};
+$('cv').onmousemove=e=>{if(S.drawing)dab(...canvasXY(e));};
+$('cv').onmouseup=()=>{if(S.drawing){S.drawing=false;pushMask();}};
+$('cv').onmouseleave=()=>{if(S.drawing){S.drawing=false;pushMask();}};
+$('cv').onclick=async e=>{
+ if($('mode').value!='segment')return;
+ const [x,y]=canvasXY(e);
  $('status').textContent='selecting...';
  S.sel=await j('/api/select',{view:+$('view').value,x:x,y:y});
  S.sel.view=$('view').value;
@@ -96,11 +151,30 @@ $('cv').onclick=async e=>{
   `segment ${S.sel.embed_id} (${S.sel.count} px)`;
  draw();
 };
-$('clear').onclick=()=>{S.sel=null;$('status').textContent='idle';draw();};
+$('upload').onchange=e=>{
+ const f=e.target.files[0];if(!f)return;
+ const rd=new FileReader();
+ rd.onload=async()=>{
+  const r=await j('/api/mask',{view:+$('view').value,mask_png:rd.result});
+  $('status').textContent=r.error||`uploaded mask: ${r.count} px`;
+  if(!r.error){const img=new Image();img.onload=()=>{
+   const p=paintLayer(img.width,img.height);
+   p.getContext('2d').drawImage(img,0,0);S.painted=true;draw();};
+   img.src=rd.result;}
+ };
+ rd.readAsDataURL(f);
+};
+function material(){
+ if($('mat').value!='custom')return $('mat').value;
+ const g=i=>parseFloat($(i).value);
+ return {diff:[g('d0'),g('d1'),g('d2')],
+         spec:[g('s0'),g('s1'),g('s2')],rough:[g('r0')]};
+}
+$('clear').onclick=async()=>{S.sel=null;S.paint=null;S.painted=false;
+ await j('/api/clear',{});$('status').textContent='idle';draw();};
 $('submit').onclick=async()=>{
- if(!S.sel){$('status').textContent='click the render first';return;}
  $('status').textContent='submitting...';
- const r=await j('/api/submit',{material:$('mat').value,
+ const r=await j('/api/submit',{material:material(),
                                 env:$('env').value});
  $('status').textContent=r.error||'uploaded — waiting for server';
 };
@@ -123,7 +197,8 @@ _SAFE_IMG = re.compile(r"^[\w.-]+\.png$")
 
 
 class EditSession:
-    """Server-side state: the view list and the current selection."""
+    """Server-side state: the view list, the segment selection, and any
+    hand-painted/uploaded per-view masks (ui4.py:496+ edit surface)."""
 
     def __init__(self, root, views_dir, envs=("original",)):
         self.root = root
@@ -131,6 +206,7 @@ class EditSession:
         self.envs = list(envs)
         self.lock = threading.Lock()
         self.masks = None  # list of [H, W] bool, one per view
+        self.painted = {}  # view index -> [H, W] bool (overrides masks)
         self.batches = sorted(
             d for d in os.listdir(views_dir)
             if _BATCH_RE.search(d) and isdir(join(views_dir, d)))
@@ -163,14 +239,71 @@ class EditSession:
             "mask_png": _mask_png_b64(masks[view]),
         }
 
-    def submit(self, material, env):
+    def set_mask(self, view, mask):
+        """Install a hand-painted/uploaded [H, W] bool mask for ``view``
+        (ui4.py manual paint; overrides the segment selection there)."""
+        if not (0 <= view < len(self.batches)):
+            raise ValueError(f"view {view} out of range")
+        emb = self._embed(view)
+        if mask.shape != emb.shape[:2]:
+            raise ValueError(
+                f"mask shape {mask.shape} != view {emb.shape[:2]}")
         with self.lock:
-            masks = self.masks
+            self.painted[int(view)] = mask.astype(bool)
+        return {"count": int(mask.sum())}
+
+    def clear_masks(self):
+        with self.lock:
+            self.masks = None
+            self.painted = {}
+
+    def _final_masks(self):
+        """Per-view masks for submit: the painted mask where one exists,
+        else the segment selection, else empty."""
+        with self.lock:
+            masks = list(self.masks) if self.masks is not None else None
+            painted = dict(self.painted)
+        if masks is None and not painted:
+            raise ValueError(
+                "no selection — click the render or paint a mask first")
         if masks is None:
-            raise ValueError("no selection — click the render first")
-        if isinstance(material, str) and material not in MATERIAL_DB:
-            raise ValueError(f"unknown material {material!r}")
-        submit_edit(self.root, material, masks, env=env)
+            h, w = self._embed(0).shape[:2]
+            masks = [np.zeros((h, w), bool)
+                     for _ in range(len(self.batches))]
+        for i, m in painted.items():
+            masks[i] = m
+        return masks
+
+    @staticmethod
+    def check_material(material):
+        """'keep'/db name, or a custom dict of BRDF values (the numeric
+        diff/spec/rough entry ui4.py offers; the server protocol already
+        accepts arbitrary dicts)."""
+        if isinstance(material, str):
+            if material not in MATERIAL_DB:
+                raise ValueError(f"unknown material {material!r}")
+            return material
+        if not isinstance(material, dict):
+            raise ValueError("material must be a name or a dict")
+        out = {}
+        for key, n in (("diff", 3), ("spec", 3), ("rough", 1)):
+            vals = material.get(key)
+            if vals is None:
+                raise ValueError(f"custom material missing {key!r}")
+            vals = [float(v) for v in np.asarray(vals).reshape(-1)]
+            if len(vals) != n:
+                raise ValueError(f"{key} needs {n} values, got {vals}")
+            # negative first channel = keep-channel (MATERIAL_DB
+            # convention); otherwise BRDF values live in [0, 1]
+            if vals[0] >= 0 and not all(0.0 <= v <= 1.0 for v in vals):
+                raise ValueError(f"{key} values must be in [0, 1]")
+            out[key] = vals
+        return out
+
+    def submit(self, material, env):
+        masks = self._final_masks()
+        submit_edit(self.root, self.check_material(material), masks,
+                    env=env)
 
     def status(self):
         path = join(self.root, "status", "status.json")
@@ -208,6 +341,26 @@ def _mask_png_b64(mask):
         Image.fromarray(rgba).save(bio, format="PNG")
         data = bio.getvalue()
     return base64.b64encode(data).decode("ascii")
+
+
+def _png_b64_to_mask(b64):
+    """base64 PNG (raw or data: URL) -> [H, W] bool (any nonzero pixel /
+    nonzero alpha = selected)."""
+    data = base64.b64decode(b64.split(",")[-1])
+    try:
+        import cv2
+        img = cv2.imdecode(np.frombuffer(data, np.uint8),
+                           cv2.IMREAD_UNCHANGED)
+    except ImportError:
+        from PIL import Image
+        img = np.asarray(Image.open(_io.BytesIO(data)))
+    if img is None:
+        raise ValueError("could not decode mask PNG")
+    if img.ndim == 2:
+        return img > 0
+    if img.shape[2] == 4:
+        return img[..., 3] > 0
+    return img.max(axis=2) > 0
 
 
 def make_handler(session: EditSession):
@@ -274,6 +427,13 @@ def make_handler(session: EditSession):
                 if self.path == "/api/select":
                     self._json(session.select(
                         int(body["view"]), int(body["x"]), int(body["y"])))
+                elif self.path == "/api/mask":
+                    self._json(session.set_mask(
+                        int(body["view"]),
+                        _png_b64_to_mask(body["mask_png"])))
+                elif self.path == "/api/clear":
+                    session.clear_masks()
+                    self._json({"ok": True})
                 elif self.path == "/api/submit":
                     session.submit(body.get("material", "keep"),
                                    body.get("env", "original"))
