@@ -64,7 +64,20 @@ def main():
     ap.add_argument("--geo-iters", type=int, default=1500)
     ap.add_argument("--imh", type=int, default=64)
     ap.add_argument("--out-json", default=None)
+    ap.add_argument("--configs", default=None,
+                    help="comma-separated subset of config names to run "
+                    "(default: all); e.g. 'ref 64+64r4,occ 24+8r2/128'")
     args = ap.parse_args()
+
+    global CONFIGS
+    if args.configs:
+        wanted = [c.strip() for c in args.configs.split(",")]
+        by_name = dict(CONFIGS)
+        missing = [w for w in wanted if w not in by_name]
+        if missing:
+            raise SystemExit(f"unknown configs: {missing}; "
+                             f"known: {[n for n, _ in CONFIGS]}")
+        CONFIGS = [(w, by_name[w]) for w in wanted]
 
     table = {}
     for shape in SHAPES:
