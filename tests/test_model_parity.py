@@ -213,6 +213,10 @@ def chain(tmp_path_factory):
         for m in (model_vq.vq_layer.ema_cluster_size,
                   model_vq.vq_layer.ema_dw):
             ema_vars += [m._counter, m._hidden, m.average]
+        # keras 3 also drops raw tf.Variable attributes (_light,
+        # _codebook — trainable in the reference's TF-2.x keras) from
+        # Model.variables; include them so restore() is complete
+        ema_vars += [model_vq._light, model_vq._codebook]
         seen = {id(v) for v in model_vq.variables}
         return list(model_vq.variables) + [
             v for v in ema_vars if id(v) not in seen]
