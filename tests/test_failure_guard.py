@@ -138,3 +138,29 @@ def test_nfr_unit_nan_guard_chunked(tmp_path):
     rows = [json.loads(l) for l in
             open(os.path.join(dump, "train_log.jsonl"))]
     assert rows[-1]["epoch"] == 1 and rows[-1]["state_epoch"] == 2
+
+
+def test_scan_epoch_loop_oom_hint():
+    """A RESOURCE_EXHAUSTED dispatch of a multi-epoch chunk re-raises
+    with the actionable lower-epoch_scan_chunk hint (the raw error at
+    chunk=12 on a v5e was undiagnosable; BASELINE.md r4)."""
+    import jax
+    import pytest
+
+    def sample_xs(n_ep):
+        return list(range(n_ep))
+
+    def dispatch(xs):
+        raise jax.errors.JaxRuntimeError(
+            "RESOURCE_EXHAUSTED: TPU backend error (ResourceExhausted)")
+
+    with pytest.raises(RuntimeError, match="lower epoch_scan_chunk"):
+        loop._scan_epoch_loop(0, 6, 10, 3, sample_xs, dispatch,
+                              lambda lds, n: [None] * n,
+                              lambda *a: None)
+
+    # single-epoch chunks (nothing to lower) propagate the raw error
+    with pytest.raises(jax.errors.JaxRuntimeError):
+        loop._scan_epoch_loop(0, 6, 10, 1, sample_xs, dispatch,
+                              lambda lds, n: [None] * n,
+                              lambda *a: None)

@@ -259,7 +259,20 @@ def _scan_epoch_loop(start_epoch, epochs, period, chunk, sample_xs,
         t_chunk = time.time()
         n_ep = _chunk_plan(epoch, epochs, period, chunk)
         xs = pending_xs if pending_xs is not None else sample_xs(n_ep)
-        lds = dispatch(xs)
+        try:
+            lds = dispatch(xs)
+        except jax.errors.JaxRuntimeError as e:
+            if "RESOURCE_EXHAUSTED" in str(e) and n_ep > 1:
+                # chunk=12 at the production bench shape OOMs a 16 GB
+                # v5e (BASELINE.md r4): the whole chunk's xs stack
+                # lives in HBM alongside model/opt state
+                raise RuntimeError(
+                    "device OOM dispatching a %d-epoch scanned chunk; "
+                    "lower epoch_scan_chunk (auto policy caps at "
+                    "min(6, ckpt/vali period), which is also the "
+                    "measured memory-safe point at production shapes)"
+                    % n_ep) from e
+            raise
         nxt = epoch + n_ep
         pending_xs = sample_xs(
             _chunk_plan(nxt, epochs, period, chunk)) if nxt < epochs \
