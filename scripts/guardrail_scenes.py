@@ -39,23 +39,36 @@ CONFIGS = [
     # provably-empty occupancy span render with the cheap 8-sample tier
     ("adpt 24+8r2/128", ["--geo-sampler", "24+8r2", "--occ-res", "128",
                          "--adaptive-empty"]),
+    # the >=10x-throughput tiers (BASELINE.md r2/r3 sweep): candidates
+    # only if they hold quality at production budget under the
+    # production-faithful parity render
+    ("occ 16+8r2/128", ["--geo-sampler", "16+8r2", "--occ-res", "128"]),
+    ("occ 16+16r2/128", ["--geo-sampler", "16+16r2", "--occ-res", "128"]),
 ]
 
 
-def run_cell(shape, extra, root, geo_iters, imh):
+def run_cell(shape, extra, root, geo_iters, imh, save_ckpt=False):
     out = subprocess.run(
         [sys.executable, SMOKE, "--root", root, "--shape", shape,
          "--stage1-only", "--geo-iters", str(geo_iters),
-         "--imh", str(imh)] + extra,
+         "--imh", str(imh)]
+        + (["--save-ckpt"] if save_ckpt else []) + extra,
         capture_output=True, text=True)
     if out.returncode != 0:
         print(out.stdout[-2000:])
         print(out.stderr[-2000:])
         raise RuntimeError(f"guardrail cell failed: {shape} {extra}")
-    for line in out.stdout.splitlines():
-        if "val-view PSNR" in line:
-            return float(line.split("PSNR")[1].split("dB")[0])
-    raise RuntimeError(f"no PSNR line in output for {shape} {extra}")
+    import re as _re
+    m_train = _re.search(r"val-view PSNR ([\d.]+) dB", out.stdout)
+    m_par = _re.search(r"val-view PSNR\(parity\) ([\d.]+) dB", out.stdout)
+    if not m_train:
+        raise RuntimeError(f"no PSNR line in output for {shape} {extra}")
+    # parity = quality of the trained SDF rendered the way production
+    # extracts it (cli._geo_cfgs: always 64+64r4); this is the decision
+    # metric. train_render kept for continuity with r2/r3 tables.
+    return {"train_render": float(m_train.group(1)),
+            "parity": (float(m_par.group(1)) if m_par
+                       else float(m_train.group(1)))}
 
 
 def main():
@@ -64,6 +77,12 @@ def main():
     ap.add_argument("--geo-iters", type=int, default=1500)
     ap.add_argument("--imh", type=int, default=64)
     ap.add_argument("--out-json", default=None)
+    ap.add_argument("--shapes", default=None,
+                    help="comma-separated subset of scenes "
+                    f"(default: all of {SHAPES})")
+    ap.add_argument("--save-ckpt", action="store_true",
+                    help="keep each cell's final stage-1 checkpoint so "
+                    "any render config can be re-scored post-hoc")
     ap.add_argument("--configs", default=None,
                     help="comma-separated subset of config names to run "
                     "(default: all); e.g. 'ref 64+64r4,occ 24+8r2/128'")
@@ -79,24 +98,35 @@ def main():
                              f"known: {[n for n, _ in CONFIGS]}")
         CONFIGS = [(w, by_name[w]) for w in wanted]
 
+    shapes = SHAPES
+    if args.shapes:
+        shapes = [s.strip() for s in args.shapes.split(",")]
+        unknown = [s for s in shapes if s not in SHAPES]
+        if unknown:
+            raise SystemExit(f"unknown shapes: {unknown}")
+
     table = {}
-    for shape in SHAPES:
+    for shape in shapes:
         table[shape] = {}
         for name, extra in CONFIGS:
             root = os.path.join(args.root, shape,
                                 name.replace(" ", "_").replace("+", "")
                                 .replace("/", "g"))
-            p = run_cell(shape, extra, root, args.geo_iters, args.imh)
+            p = run_cell(shape, extra, root, args.geo_iters, args.imh,
+                         save_ckpt=args.save_ckpt)
             table[shape][name] = p
-            print(f"{shape:8s} {name:12s} {p:6.2f} dB", flush=True)
+            print(f"{shape:8s} {name:12s} parity {p['parity']:6.2f} dB"
+                  f"  (train-render {p['train_render']:6.2f})",
+                  flush=True)
 
     names = [n for n, _ in CONFIGS]
-    print("\n| scene | " + " | ".join(names)
+    print("\nparity-render PSNR (the production decision metric):")
+    print("| scene | " + " | ".join(names)
           + " | worst Δ vs " + names[0] + " |")
     print("|---|" + "---|" * (len(names) + 1))
     worst = {n: 0.0 for n in names[1:]}
-    for shape in SHAPES:
-        vals = [table[shape][n] for n in names]
+    for shape in shapes:
+        vals = [table[shape][n]["parity"] for n in names]
         deltas = [v - vals[0] for v in vals[1:]]
         for n, d in zip(names[1:], deltas):
             worst[n] = min(worst[n], d)

@@ -173,9 +173,18 @@ def main():
                     help="two-tier per-ray-adaptive stage-1 step: rays "
                          "with a provably-empty occupancy span render "
                          "with the cheap tier (requires --occ-res)")
+    ap.add_argument("--save-ckpt", action="store_true",
+                    help="save the final stage-1 checkpoint (guardrail "
+                    "cells can then be re-rendered under any sampler "
+                    "without retraining)")
     ap.add_argument("--empty-n-samples", type=int, default=8,
                     help="cheap-tier sample count for --adaptive-empty")
     args = ap.parse_args()
+    if os.environ.get("SMOKE_CPU"):
+        # drive the pipeline on host CPU (the axon TPU ignores
+        # JAX_PLATFORMS; only the config update works — CLAUDE.md)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from vqnerf_release_tpu.data.neus_dataset import NerfSceneDataset
     from vqnerf_release_tpu.data.shape_dataset import ShapeDataset
@@ -219,15 +228,36 @@ def main():
                            steps_per_dispatch=8)
     runner = NeuSRunner(cfg1, tcfg, ds, join(root, "exp"), seed=0)
     runner.train(log_every=max(args.geo_iters // 8, 1))
+    if args.save_ckpt:
+        runner.save_checkpoint()
     img, wsum = runner.validate_image(0)
     gt = ds.images[0]
     geo_psnr = psnr((np.clip(img, 0, 1) * 255).astype(np.uint8),
                     (gt * 255).astype(np.uint8))
     print(f"== stage-1 done in {time.time()-t0:.0f}s, "
           f"val-view PSNR {geo_psnr:.2f} dB")
+    # Production-faithful quality of the SAME trained SDF: extraction
+    # and eval always render with the reference-parity sampler
+    # (cli._geo_cfgs, confs/nerf.conf:83-86), so sampler-default
+    # comparisons must score this render — the training-sampler val
+    # above measures quadrature, not trained-SDF quality.
+    parity_tuple = (64, 64, 4)
+    if (cfg1.n_samples, cfg1.n_importance,
+            cfg1.up_sample_steps) == parity_tuple:
+        parity_psnr = geo_psnr
+    else:
+        import dataclasses
+        pcfg = dataclasses.replace(cfg1, n_samples=64, n_importance=64,
+                                   up_sample_steps=4)
+        img_p, _ = runner.validate_image(0, render_cfg=pcfg,
+                                         tag="_parity")
+        parity_psnr = psnr(
+            (np.clip(img_p, 0, 1) * 255).astype(np.uint8),
+            (gt * 255).astype(np.uint8))
+    print(f"== val-view PSNR(parity) {parity_psnr:.2f} dB")
     if args.stage1_only:
         print("== STAGE1-ONLY OK")
-        return {"geo_psnr": geo_psnr}
+        return {"geo_psnr": geo_psnr, "geo_psnr_parity": parity_psnr}
 
     print("== extracting geometry buffers (incl. lvis)")
     t0 = time.time()

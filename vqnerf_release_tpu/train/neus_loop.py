@@ -81,16 +81,31 @@ class NeuSRunner:
 
             self._probe_frac = _probe_frac
 
-        @jax.jit
-        def _render_val(params, rays_o, rays_d, near, far):
-            bg = jnp.ones((1, 3)) if tcfg.use_white_bkgd else None
-            out = neus_render(params, cfg, rays_o, rays_d, near, far,
-                              self.radius, key=None, cos_anneal_ratio=1.0,
-                              background_rgb=bg)
-            return {"color": out["color_fine"],
-                    "weight_sum": out["weight_sum"]}
+        self._val_fns = {}
 
-        self._render_val = _render_val
+        def _render_val_for(rcfg):
+            """Jitted full-config validation render, cached per render
+            config. Training may use a cheap occupancy-guided sampler,
+            but downstream consumers (GeoExtractor, cli.py::_geo_cfgs)
+            render with the reference-parity sampler — validating with
+            an explicit render_cfg measures the trained SDF the way
+            production will actually render it."""
+            key_ = rcfg
+            if key_ not in self._val_fns:
+                @jax.jit
+                def _render_val(params, rays_o, rays_d, near, far):
+                    bg = jnp.ones((1, 3)) if tcfg.use_white_bkgd else None
+                    out = neus_render(params, rcfg, rays_o, rays_d, near,
+                                      far, self.radius, key=None,
+                                      cos_anneal_ratio=1.0,
+                                      background_rgb=bg)
+                    return {"color": out["color_fine"],
+                            "weight_sum": out["weight_sum"]}
+                self._val_fns[key_] = _render_val
+            return self._val_fns[key_]
+
+        self._render_val_for = _render_val_for
+        self._render_val = _render_val_for(cfg)
 
     def _pick_cap(self):
         """Active capacity for the two-tier adaptive step
@@ -233,7 +248,20 @@ class NeuSRunner:
         return history
 
     # -- validation (nerf_runner.py:234-379, simplified outputs) -----------
-    def validate_image(self, idx=0, batch_size=4096):
+    def validate_image(self, idx=0, batch_size=4096, render_cfg=None,
+                       tag=""):
+        """Full-view validation render.
+
+        render_cfg: optional NeuSConfig overriding the sampler used for
+        the render (not for training). Production consumers (GeoExtractor
+        via cli._geo_cfgs) always render with the reference-parity
+        64+64r4 sampler regardless of the training sampler, so quality
+        comparisons between training-sampler defaults must pass the
+        parity config here — otherwise they measure val-render
+        quadrature, not trained-SDF quality.
+        """
+        render = (self._render_val if render_cfg is None
+                  else self._render_val_for(render_cfg))
         ds = self.val_dataset or self.dataset
         rays_o, rays_d = ds.gen_rays_at(idx)
         h, w = rays_o.shape[:2]
@@ -248,7 +276,7 @@ class NeuSRunner:
                 o = np.pad(o, ((0, pad), (0, 0)))
                 d = np.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
             near, far = ds.near_far(o, d)
-            out = self._render_val(
+            out = render(
                 self.params, jnp.asarray(o), jnp.asarray(d),
                 jnp.asarray(near), jnp.asarray(far))
             c = np.asarray(out["color"])
@@ -263,7 +291,7 @@ class NeuSRunner:
         os.makedirs(outdir, exist_ok=True)
         import cv2
         cv2.imwrite(
-            join(outdir, "%08d_%d.png" % (self.iter_step, idx)),
+            join(outdir, "%08d_%d%s.png" % (self.iter_step, idx, tag)),
             (img[..., ::-1] * 256).clip(0, 255).astype(np.uint8))
         return img, wsum
 
