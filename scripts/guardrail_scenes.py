@@ -44,6 +44,14 @@ CONFIGS = [
     # production-faithful parity render
     ("occ 16+8r2/128", ["--geo-sampler", "16+8r2", "--occ-res", "128"]),
     ("occ 16+16r2/128", ["--geo-sampler", "16+16r2", "--occ-res", "128"]),
+    # two-phase schedules: cheap occ-guided carving for 90% of the
+    # steps, then a parity-sampler tail trains the final 10% under the
+    # exact quadrature production renders with (tail throughput
+    # 1/(0.9/fast + 0.1/20.4k))
+    ("sch 24+8t10/128", ["--geo-sampler", "24+8r2", "--occ-res", "128",
+                         "--geo-tail-frac", "0.1"]),
+    ("sch 16+8t10/128", ["--geo-sampler", "16+8r2", "--occ-res", "128",
+                         "--geo-tail-frac", "0.1"]),
 ]
 
 

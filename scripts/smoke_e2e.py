@@ -173,6 +173,12 @@ def main():
                     help="two-tier per-ray-adaptive stage-1 step: rays "
                          "with a provably-empty occupancy span render "
                          "with the cheap tier (requires --occ-res)")
+    ap.add_argument("--geo-tail-frac", type=float, default=0.0,
+                    help="fraction of end_iter trained under "
+                    "--geo-tail-sampler (occ guidance off) after the "
+                    "main phase; 0 = single-phase")
+    ap.add_argument("--geo-tail-sampler", default="64+64r4",
+                    help="tail-phase sampler spec for --geo-tail-frac")
     ap.add_argument("--save-ckpt", action="store_true",
                     help="save the final stage-1 checkpoint (guardrail "
                     "cells can then be re-rendered under any sampler "
@@ -225,6 +231,9 @@ def main():
                            occ_floor=args.occ_floor,
                            adaptive_empty=args.adaptive_empty,
                            empty_n_samples=args.empty_n_samples,
+                           tail_frac=args.geo_tail_frac,
+                           tail_sampler=(args.geo_tail_sampler
+                                         if args.geo_tail_frac else ""),
                            steps_per_dispatch=8)
     runner = NeuSRunner(cfg1, tcfg, ds, join(root, "exp"), seed=0)
     runner.train(log_every=max(args.geo_iters // 8, 1))

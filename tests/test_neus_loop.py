@@ -113,6 +113,55 @@ def test_multi_step_dispatch_matches_schedule(tmp_path):
     assert hist[-1]["lr"] > 0
 
 
+def test_sampler_schedule_tail_phase(tmp_path):
+    """Two-phase sampler schedule (NeuSTrainConfig.tail_frac): the tail
+    trains under tail_sampler with occ guidance off, dispatches never
+    straddle the boundary, and the tagged parity validation render
+    writes its own PNG."""
+    import os
+
+    import numpy as np
+
+    from tests.test_gen_geo import _make_stage1_scene
+    from vqnerf_release_tpu.data.neus_dataset import NerfSceneDataset
+    from vqnerf_release_tpu.models.neus import NeuSConfig
+    from vqnerf_release_tpu.train.neus_loop import NeuSRunner
+    from vqnerf_release_tpu.train.neus_trainer import NeuSTrainConfig
+
+    root = str(tmp_path / "scene")
+    os.makedirs(root)
+    _make_stage1_scene(root, n_train=2, n_val=1)
+    ds = NerfSceneDataset(root, is_train=True, near=0.5, far=3.5)
+    cfg = NeuSConfig(n_samples=8, n_importance=8, up_sample_steps=2)
+    tcfg = NeuSTrainConfig(batch_size=8, end_iter=10, warm_up_end=2,
+                           save_freq=10**9, val_freq=10**9,
+                           occ_res=8, occ_update_freq=2,
+                           steps_per_dispatch=4,
+                           tail_frac=0.4, tail_sampler="12+4r1")
+    runner = NeuSRunner(cfg, tcfg, ds, str(tmp_path / "exp"))
+    assert runner._tail_cfg.n_samples == 12
+    assert runner._tail_cfg.n_importance == 4
+    assert runner._tail_cfg.up_sample_steps == 1
+
+    hist = runner.train(log_every=1)
+    assert runner.iter_step == 10
+    assert hist and all(np.isfinite(h["loss"]) for h in hist)
+    # tail_start = 10 - 4 = 6: one k=4 main dispatch, two single steps
+    # up to the boundary, one k=4 tail dispatch — both phases compiled
+    tails = {tail for (_, _, tail) in runner._fn_cache}
+    assert tails == {False, True}
+    # occ grid rebuilds stop at the boundary (tail runs without occ)
+    assert runner._occ_built_at < 6
+
+    # explicit-render-config validation writes a tagged PNG
+    img, _ = runner.validate_image(0, render_cfg=runner._tail_cfg,
+                                   tag="_parity")
+    assert img.shape[2] == 3
+    files = os.listdir(os.path.join(str(tmp_path / "exp"),
+                                    "validations_fine"))
+    assert any(f.endswith("_parity.png") for f in files)
+
+
 def test_multi_step_equals_single_steps():
     """With a FIXED batch and per-step keys folded the same way, K
     scanned steps produce the same params as K eager steps."""

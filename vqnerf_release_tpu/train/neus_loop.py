@@ -45,18 +45,36 @@ class NeuSRunner:
         self._active_cap = None
         self._fn_cache = {}
 
-        def _step_fns(k, cap=None):
-            ck = (k, cap)
+        # two-phase sampler schedule (NeuSTrainConfig.tail_frac): the
+        # tail trains under tail_sampler with occ guidance off
+        self._tail_cfg = None
+        if tcfg.tail_frac > 0.0 and tcfg.tail_sampler:
+            import dataclasses
+            import re
+            m = re.fullmatch(r"(\d+)\+(\d+)r(\d+)", tcfg.tail_sampler)
+            if not m:
+                raise ValueError(
+                    f"tail_sampler must look like 64+64r4, got "
+                    f"{tcfg.tail_sampler!r}")
+            self._tail_cfg = dataclasses.replace(
+                cfg, n_samples=int(m.group(1)),
+                n_importance=int(m.group(2)),
+                up_sample_steps=int(m.group(3)))
+
+        def _step_fns(k, cap=None, tail=False):
+            ck = (k, cap, tail)
             if ck not in self._fn_cache:
                 from .neus_trainer import make_neus_multi_step
+                c = self._tail_cfg if tail else cfg
+                occ = self._with_occ and not tail
                 if k == 1:
                     fn = make_neus_train_step(
-                        cfg, tcfg, self.radius, with_occ=self._with_occ,
+                        c, tcfg, self.radius, with_occ=occ,
                         active_cap=cap)
                 else:
                     fn = make_neus_multi_step(
-                        cfg, tcfg, self.radius, k,
-                        with_occ=self._with_occ, active_cap=cap)
+                        c, tcfg, self.radius, k,
+                        with_occ=occ, active_cap=cap)
                 self._fn_cache[ck] = jax.jit(fn)
             return self._fn_cache[ck]
 
@@ -185,18 +203,31 @@ class NeuSRunner:
                     "valid": np.ones((self.tcfg.batch_size, 1),
                                      np.float32)}
 
+        # sampler-schedule boundary (tail phase trains under
+        # tcfg.tail_sampler; fraction of the CONFIGURED end_iter so a
+        # shorter n_iters debug run stays single-phase)
+        tail_start = end
+        if self._tail_cfg is not None:
+            tail_start = self.tcfg.end_iter - int(
+                round(self.tcfg.tail_frac * self.tcfg.end_iter))
+
         while self.iter_step < end:
-            # tail shorter than K runs as single steps (reuses the
+            in_tail = self.iter_step >= tail_start
+            # a dispatch never straddles end or the schedule boundary;
+            # shorter remainders run as single steps (reuses the
             # already-compiled per-step fn instead of compiling a
             # one-off shorter scan)
-            k = k_cfg if end - self.iter_step >= k_cfg else 1
-            if self._with_occ and (
+            phase_end = end if in_tail else min(end, tail_start)
+            k = k_cfg if phase_end - self.iter_step >= k_cfg else 1
+            use_occ = self._with_occ and not in_tail
+            if use_occ and (
                     self._occ_grid is None or self.iter_step
                     - self._occ_built_at >= self.tcfg.occ_update_freq):
                 self._occ_grid = self._build_occ(self.params["sdf"])
                 self._occ_built_at = self.iter_step
                 if self._adaptive:
                     self._active_cap = self._pick_cap()
+            cap = self._active_cap if not in_tail else None
             self.key, sub = jax.random.split(self.key)
             if k > 1:
                 batches = [host_batch() for _ in range(k)]
@@ -205,19 +236,19 @@ class NeuSRunner:
                     for key_ in batches[0]}
                 args = (self.params, self.opt_state, stacked, sub,
                         jnp.asarray(self.iter_step, jnp.float32))
-                if self._with_occ:
+                if use_occ:
                     args = args + (self._occ_grid,)
                 self.params, self.opt_state, metrics = \
-                    self._step_fns(k, self._active_cap)(*args)
+                    self._step_fns(k, cap, tail=in_tail)(*args)
             else:
                 batch = {key_: jnp.asarray(v)
                          for key_, v in host_batch().items()}
                 step_args = (self.params, self.opt_state, batch, sub,
                              jnp.asarray(self.iter_step, jnp.float32))
-                if self._with_occ:
+                if use_occ:
                     step_args = step_args + (self._occ_grid,)
                 self.params, self.opt_state, metrics = self._step_fns(
-                    1, self._active_cap)(*step_args)
+                    1, cap, tail=in_tail)(*step_args)
             self.iter_step += k
             if log_every and crossed(log_every, k):
                 from .loop import _sync_scalar_dicts

@@ -72,6 +72,18 @@ class NeuSTrainConfig:
     # on every ray (renderer.py:311-355).
     adaptive_empty: bool = False
     empty_n_samples: int = 8
+    # Two-phase sampler schedule: after (1 - tail_frac) * end_iter
+    # steps, training switches to tail_sampler (a "64+64r4"-style spec;
+    # occupancy guidance and adaptive tiers turn OFF for the tail).
+    # Rationale: the occ-guided cheap sampler converges fastest per
+    # step early, but at production budgets the reference's fine
+    # uniform quadrature refines thin geometry better late — and
+    # production always RENDERS with the parity sampler, so a parity
+    # tail trains the final iters under the exact quadrature being
+    # scored. 0.0 = single-phase (reference semantics,
+    # renderer.py:311-355 spends the same budget on every ray forever).
+    tail_frac: float = 0.0
+    tail_sampler: str = ""
     # skip (zero-update) any step whose gradients are non-finite instead
     # of letting one poisoned batch corrupt every parameter through adam
     # (production hardening; the divergence guard in the loop remains
