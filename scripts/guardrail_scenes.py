@@ -52,6 +52,10 @@ CONFIGS = [
                          "--geo-tail-frac", "0.1"]),
     ("sch 16+8t10/128", ["--geo-sampler", "16+8r2", "--occ-res", "128",
                          "--geo-tail-frac", "0.1"]),
+    # longer tail, in case 10% of parity-quadrature refinement is not
+    # enough to match the reference's full-trajectory fine sampling
+    ("sch 24+8t25/128", ["--geo-sampler", "24+8r2", "--occ-res", "128",
+                         "--geo-tail-frac", "0.25"]),
 ]
 
 
