@@ -1,38 +1,35 @@
 #!/bin/bash
-# Round-4 follow-on TPU queue (v5; consolidates and supersedes queue 4,
-# whose shell was retired while still waiting — nothing of it had run).
+# Round-4 follow-on TPU queue (v6; supersedes queue 5, which was
+# retired while still waiting on G2 — nothing of it had run. Drops
+# step E: the span/occ reduced vis sampler re-validation already ran
+# (15:19-15:42, /tmp/r4/fastvis_*.log) and is recorded in BASELINE.md).
 #
-# Waits for G2 (the parity-render occ-tier guardrail) to release the
-# axon tunnel, then:
+# Waits for G2 (the parity-render occ-tier guardrail, PID passed as
+# $1 or discovered from the known launch) to exit, then:
 #   F:  bench.py at HEAD.
 #   G3: production-budget guardrail of the two-phase sampler schedules
 #       (cheap occ carving + 10% parity tail) — the candidate that
-#       could carry a >=10x tier past the quality gate, and fix any
-#       real 24+8 production-budget regression.
-#   G4: longer-tail insurance on the binding scene (plate, 25% tail),
-#       in case 10% of parity-quadrature refinement is not enough.
+#       could carry a >=10x tier past the quality gate.
+#   G4: longer-tail insurance on the binding scene (plate, 25% tail).
 #   H1: EQUAL-WALL-CLOCK plate cell — occ 24+8 at 150k iters, the same
-#       wall time as the reference sampler's 40k (3.73x steps/s). The
-#       equal-STEP guardrail biases against the fast sampler in the
-#       dimension it wins; production cares about time-to-quality.
-#   H2: parity-render rescore of every saved cell over both val views
-#       (rescore_ckpt.py; the in-run metric scores train view 0 only).
-#   E:  span/occ-guided reduced vis sampler validation (lowest value,
-#       last).
+#       wall time as the reference sampler's 40k (3.73x steps/s).
+#   H2: parity-render rescore of every saved cell over both val views.
 #
-# Run DETACHED: nohup setsid bash scripts/r4_tpu_queue5.sh \
-#                 > /tmp/r4_queue5.log 2>&1 &
+# Run DETACHED: nohup setsid bash scripts/r4_tpu_queue6.sh <G2_PID> \
+#                 > /tmp/r4_queue6.log 2>&1 &
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p /tmp/r4 /tmp/r4/rescore
 
 stamp() { echo "=== [$(date -u +%H:%M:%S)] $1 ==="; }
 
-stamp "waiting for G2 (guard_parity guardrail) to exit"
-G2_PID=$(ps -eo pid,cmd | awk '/guardrail_scenes\.py --root .tmp.r4.guard_parity/ && !/awk/ {print $1; exit}')
-while [ -n "${G2_PID}" ] && ps -p "${G2_PID}" > /dev/null 2>&1; do
-  sleep 60
-done
+G2_PID="${1:-}"
+if [ -n "${G2_PID}" ]; then
+  stamp "waiting for G2 (pid ${G2_PID}) to exit"
+  while ps -p "${G2_PID}" > /dev/null 2>&1; do
+    sleep 60
+  done
+fi
 stamp "tunnel free"
 
 stamp "F: bench.py at HEAD"
@@ -74,12 +71,4 @@ for cell in /tmp/r4/guard_parity/*/*/ /tmp/r4/guard_sched/*/*/ \
   echo "H2($tag) exit=$? $(grep -o 'mean over.*' /tmp/r4/rescore/$tag.log | tail -1)"
 done
 
-for shape in plate blobs sphere; do
-  stamp "E: validate span/occ-guided reduced vis sampler ($shape)"
-  timeout 3600 python scripts/validate_fastvis.py --shape "$shape" \
-    --vis-sampler 32+16r2 --root /tmp/r4/fastvis_$shape \
-    > /tmp/r4/fastvis_$shape.log 2>&1
-  echo "E($shape) exit=$?"
-done
-
-stamp "queue 5 done"
+stamp "queue 6 done"
