@@ -56,6 +56,13 @@ CONFIGS = [
     # enough to match the reference's full-trajectory fine sampling
     ("sch 24+8t25/128", ["--geo-sampler", "24+8r2", "--occ-res", "128",
                          "--geo-tail-frac", "0.25"]),
+    # r4 production-budget follow-ups: plate at t25 lands 1.0 dB below
+    # the ref bar (34.42 vs 35.43) — test whether a longer tail closes
+    # it, and whether the roomier 24+16 carve tier + tail does
+    ("sch 24+8t40/128", ["--geo-sampler", "24+8r2", "--occ-res", "128",
+                         "--geo-tail-frac", "0.4"]),
+    ("sch 24+16t25/128", ["--geo-sampler", "24+16r2", "--occ-res", "128",
+                          "--geo-tail-frac", "0.25"]),
 ]
 
 
