@@ -16,7 +16,7 @@ set -u
 cd "$(dirname "$0")/.."
 mkdir -p /tmp/r4
 
-Q8_PID="${1:?pass queue8's bash pid}"
+Q8_PID="${1:?pass queue8 bash pid}"
 stamp() { echo "=== [$(date -u +%H:%M:%S)] $1 ==="; }
 
 stamp "waiting for queue8's plate_t25_ew cell to finish"
