@@ -347,3 +347,64 @@ def test_scan_chunk_auto_policy():
     cfg_o = _apply_preset_overrides(CFG, "epoch_scan_chunk=3")
     assert cfg_o.epoch_scan_chunk == 3
     assert loop._resolve_scan_chunk(cfg_o, run_epoch) == 3
+
+
+def test_compressed_pix_staging_exact(monkeypatch):
+    """_epoch_scan_xs stages the jitter-pair stream compressed (center
+    i32 + neighbor code u8, 5 bytes/pair vs 8) and decodes ON DEVICE —
+    the decoded [E, 2n] must equal the raw interleaved staging bit for
+    bit, including the mesh path's zero-row padding (same rng stream,
+    both jitter modes, multi-epoch)."""
+    monkeypatch.setenv("VQNERF_NATIVE_SAMPLER", "0")
+    views = [_view(s) for s in range(3)]
+    store = DeviceViewStore(views, mesh=get_mesh())
+    for jitter_mode in ("random", "contrast"):
+        vi_c, pix_c, steps_c = loop._epoch_scan_xs(
+            views, CFG, np.random.RandomState(3), jitter_mode, store,
+            step0=5.0, n_epochs=2)
+        # raw expectation: identical sampling, old-style staging
+        rng = np.random.RandomState(3)
+        jobs = [v for _ in range(2) for v in views]
+        raw = np.stack([
+            np.asarray(p) for p in loop.sample_view_pix_many(
+                jobs, CFG.n_rays_per_step, rng,
+                jitter_mode=jitter_mode)]).astype(np.int32)
+        n_dev = get_mesh().devices.size
+        if n_dev > 1:
+            from vqnerf_release_tpu.parallel import pad_to_multiple
+            raw, _ = pad_to_multiple(raw, n_dev, axis=1,
+                                     pad_value=store.pad_index)
+        np.testing.assert_array_equal(np.asarray(pix_c), raw,
+                                      err_msg=jitter_mode)
+        assert np.asarray(pix_c).dtype == np.int32
+        np.testing.assert_array_equal(
+            np.asarray(vi_c), np.tile(np.arange(3, dtype=np.int32), 2))
+        np.testing.assert_array_equal(
+            np.asarray(steps_c), 5.0 + np.arange(6, dtype=np.float32))
+
+
+def test_encode_pairs_roundtrip_and_rejection():
+    """_encode_pairs is the exact inverse of _pair_decoder for every
+    neighbor code, and refuses (None) a jitter that is not one of the 8
+    neighbor offsets so staging falls back to the raw path."""
+    w = 12
+    from vqnerf_release_tpu.data.sampler import _JITTERS
+    centers = np.array([[13, 25, 37, 49, 61, 73, 85, 97]], np.int32)
+    offs = np.array([dy * w + dx for dy, dx in _JITTERS], np.int32)
+    pix = np.empty((1, 16), np.int32)
+    pix[0, 0::2] = centers
+    pix[0, 1::2] = centers + offs
+    c, codes = loop._encode_pairs(pix, w)
+    np.testing.assert_array_equal(c, centers)
+    np.testing.assert_array_equal(codes[0], np.arange(8))
+    dec = loop._pair_decoder(w, None)(c, codes)
+    np.testing.assert_array_equal(np.asarray(dec), pix)
+    # code 8 (padding) decodes to the identity offset
+    pad = loop._pair_decoder(w, None)(
+        np.full((1, 2), 120, np.int32), np.full((1, 2), 8, np.uint8))
+    np.testing.assert_array_equal(np.asarray(pad),
+                                  np.full((1, 4), 120, np.int32))
+    # a non-neighbor jitter (offset +2) is rejected
+    bad = pix.copy()
+    bad[0, 1] = bad[0, 0] + 2
+    assert loop._encode_pairs(bad, w) is None

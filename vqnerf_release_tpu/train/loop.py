@@ -284,13 +284,76 @@ def _scan_epoch_loop(start_epoch, epochs, period, chunk, sample_xs,
         epoch = nxt
 
 
+_DECODE_CACHE = {}
+
+
+def _pair_decoder(w, mesh):
+    """Jitted (centers [E, n] i32, codes [E, n] u8) -> interleaved pix
+    [E, 2n] i32 on device. codes index data.sampler._JITTERS (0-7) plus
+    8 = identity (padding rows, where center == store.pad_index). Cached
+    per (w, mesh) so chunked dispatch reuses one compiled decode."""
+    key = (int(w), None if mesh is None
+           else tuple(d.id for d in mesh.devices.flat))
+    fn = _DECODE_CACHE.get(key)
+    if fn is None:
+        from ..data.sampler import _JITTERS
+        offs = np.asarray(
+            [dy * w + dx for dy, dx in _JITTERS] + [0], np.int32)
+
+        def dec(c, codes):
+            jit = c + jnp.asarray(offs)[codes]
+            return jnp.stack([c, jit], axis=-1).reshape(c.shape[0], -1)
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.mesh import RAY_AXIS
+            fn = jax.jit(dec, out_shardings=NamedSharding(
+                mesh, P(None, RAY_AXIS)))
+        else:
+            fn = jax.jit(dec)
+        _DECODE_CACHE[key] = fn
+    return fn
+
+
+def _encode_pairs(pix, w):
+    """Interleaved [E, 2n] flat indices -> (centers [E, n] i32, jitter
+    codes [E, n] u8), or None when any jitter is not one of the 8
+    neighbor offsets (defensive: the samplers guarantee it). Exact
+    inverse of _pair_decoder's decode — the staged bytes drop from 8 to
+    5 per ray pair, which matters because the axon tunnel serializes
+    host->device transfers with device compute (BASELINE.md r4: staging
+    is the residual 0.71x->1.0x gap of the chunked scanned dispatch)."""
+    from ..data.sampler import _JITTERS
+    c = pix[:, 0::2]
+    d = pix[:, 1::2] - c
+    offs = np.asarray([dy * w + dx for dy, dx in _JITTERS], np.int64)
+    order = np.argsort(offs)
+    so = offs[order]
+    pos = np.clip(np.searchsorted(so, d), 0, len(so) - 1)
+    if not np.array_equal(so[pos], d):
+        return None
+    return c.astype(np.int32), order[pos].astype(np.uint8)
+
+
+_PAD_CODE = np.uint8(8)  # identity offset: pad pairs decode to
+# (pad_index, pad_index), the store's zero row (alpha=0, masked)
+
+
 def _epoch_scan_xs(train_views, cfg, rng, jitter_mode, store, step0,
                    n_epochs=1):
     """Host-sample ray indices for ``n_epochs`` WHOLE epochs: (vi [E*K],
     pix [E*K, 2n], steps [E*K]) staged for the scanned dispatch (pix
     sharded over the ray axis under a >1-device mesh, padded with the
     store's zero row). Epochs are sampled sequentially so the host rng
-    stream is identical to n_epochs single-epoch calls."""
+    stream is identical to n_epochs single-epoch calls.
+
+    The interleaved (center, jitter) stream is staged compressed —
+    center i32 + neighbor code u8, decoded back to the identical [E*K,
+    2n] i32 on device by _pair_decoder — cutting the per-epoch
+    host->device bytes 1.6x (the tunnel serializes transfers with
+    compute, so staged bytes are wall time; BASELINE.md r4)."""
     jobs = [v for _ in range(n_epochs) for v in train_views]
     pix = np.stack([
         np.asarray(p) for p in sample_view_pix_many(
@@ -298,23 +361,70 @@ def _epoch_scan_xs(train_views, cfg, rng, jitter_mode, store, step0,
     ]).astype(np.int32)
     mesh = _get_mesh()
     n_dev = mesh.devices.size
-    if n_dev > 1:
-        from ..parallel.mesh import pad_to_multiple
-        pix, _ = pad_to_multiple(pix, n_dev, axis=1,
-                                 pad_value=store.pad_index)
     k = len(train_views)
     vi = jnp.asarray(np.tile(np.arange(k, dtype=np.int32), n_epochs))
     steps = jnp.asarray(
         step0 + np.arange(n_epochs * k, dtype=np.float32))
+
+    widths = {v.w for v in train_views}
+    enc = (_encode_pairs(pix, train_views[0].w)
+           if len(widths) == 1 else None)
+    if enc is None:  # heterogeneous widths / foreign jitter: stage raw
+        if n_dev > 1:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.mesh import RAY_AXIS, pad_to_multiple
+            pix, _ = pad_to_multiple(pix, n_dev, axis=1,
+                                     pad_value=store.pad_index)
+            pix = jax.device_put(
+                jnp.asarray(pix), NamedSharding(mesh, P(None, RAY_AXIS)))
+        else:
+            pix = jnp.asarray(pix)
+        return vi, pix, steps
+
+    c, codes = enc
     if n_dev > 1:
+        # the decoded [E, 2n_pad] must match the raw path's padded
+        # length 2n + (-2n) % n_dev EXACTLY (losses can reduce over
+        # padded rows, and the host-path comparison tests pad the same
+        # way); when that length is odd it cannot be built from whole
+        # (center, jitter) pairs — stage raw instead (odd meshes only)
+        two_n = pix.shape[1]
+        target = two_n + (-two_n) % n_dev
+        if target % 2:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.mesh import RAY_AXIS, pad_to_multiple
+            pix, _ = pad_to_multiple(pix, n_dev, axis=1,
+                                     pad_value=store.pad_index)
+            pix = jax.device_put(
+                jnp.asarray(pix), NamedSharding(mesh, P(None, RAY_AXIS)))
+            return vi, pix, steps
+        pad_pairs = target // 2 - c.shape[1]
+        if pad_pairs:
+            c = np.pad(c, ((0, 0), (0, pad_pairs)),
+                       constant_values=store.pad_index)
+            codes = np.pad(codes, ((0, 0), (0, pad_pairs)),
+                           constant_values=_PAD_CODE)
         from jax.sharding import NamedSharding
         from jax.sharding import PartitionSpec as P
 
         from ..parallel.mesh import RAY_AXIS
-        pix = jax.device_put(
-            jnp.asarray(pix), NamedSharding(mesh, P(None, RAY_AXIS)))
+        # pairs axis may not divide the mesh (tiny test batches) —
+        # replicate then; the decoder's out_shardings still lands the
+        # decoded pix ray-sharded either way
+        sh = NamedSharding(
+            mesh, P(None, RAY_AXIS) if c.shape[1] % n_dev == 0
+            else P(None, None))
+        c = jax.device_put(jnp.asarray(c), sh)
+        codes = jax.device_put(jnp.asarray(codes), sh)
     else:
-        pix = jnp.asarray(pix)
+        c = jnp.asarray(c)
+        codes = jnp.asarray(codes)
+    pix = _pair_decoder(train_views[0].w, mesh if n_dev > 1 else None)(
+        c, codes)
     return vi, pix, steps
 
 
