@@ -73,7 +73,9 @@ def run_mode(mode, views, args, root):
     cfg = dc.DecompConfig(
         light_h=args.light_h, imh=args.imh,
         total_sample_vq=2000, device_views=dv, epoch_scan=scan,
-        epoch_scan_chunk=args.chunk if mode == "chunk" else 1)
+        epoch_scan_chunk=args.chunk if mode == "chunk" else 1,
+        device_sampling=bool(getattr(args, "device_sampling", False)
+                             and scan))
     nfr_params = init_nfr_unit(0, cfg)
     out = join(root, mode)
     shutil.rmtree(out, ignore_errors=True)
@@ -104,7 +106,8 @@ def run_mode(mode, views, args, root):
         steady = [l["wall_s"] for l in logs[1:-1]]
     rays_per_epoch = 2 * cfg.n_rays_per_step * len(views)
     rays_s = rays_per_epoch / float(np.mean(steady))
-    return {"mode": mode, "total_s": round(total, 1),
+    return {"mode": mode, "device_sampling": cfg.device_sampling,
+            "total_s": round(total, 1),
             "steady_epoch_s": round(float(np.mean(steady)), 3),
             "steady": is_steady,
             "epoch_s_all": [l["wall_s"] for l in logs],
@@ -120,6 +123,10 @@ def main():
     ap.add_argument("--epochs", type=int, default=8)
     ap.add_argument("--chunk", type=int, default=6,
                     help="epochs per dispatch for the 'chunk' mode")
+    ap.add_argument("--device-sampling", action="store_true",
+                    help="sample ray indices on device inside the scan "
+                         "(DecompConfig.device_sampling; scan/chunk/u8 "
+                         "modes only)")
     ap.add_argument("--modes", default="off,on,scan",
                     help="comma list of off|on|scan|chunk|u8|shard "
                          "(host-gather / resident per-step / resident "

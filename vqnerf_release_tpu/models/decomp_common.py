@@ -138,6 +138,17 @@ class DecompConfig:
     # chunk is only observable at chunk end (the divergence guard
     # checkpoints and labels the end-of-chunk state).
     epoch_scan_chunk: Optional[int] = None
+    # With the scanned dispatch on a replicated/u8 store, sample the
+    # jitter-pair ray indices ON DEVICE inside the scan
+    # (data/device_sampler.py) instead of staging the host-sampled
+    # index stream per epoch. Removes the last per-epoch host->device
+    # transfer (the tunnel serializes transfers with compute —
+    # BASELINE.md r4's residual system gap). Same selection semantics
+    # and distribution, but a jax PRNG stream instead of the host rng,
+    # so batches are NOT bit-identical to the host path — explicit
+    # opt-in, never auto. Ignored (with a notice) without an active
+    # scanned store or with device_views='shard'.
+    device_sampling: bool = False
 
     @property
     def light_res(self) -> Tuple[int, int]:

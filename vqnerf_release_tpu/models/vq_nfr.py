@@ -60,6 +60,10 @@ def init_vq_nfr(seed, cfg: dc.DecompConfig, nfr_params, cluster_centers):
             "gamma_bias", jnp.ones((1,), jnp.float32))
         params["gamma_index"] = nfr_params.get(
             "gamma_index", jnp.ones((1,), jnp.float32))
+    # copy the embedded nfr_unit leaves: the scanned trainers donate the
+    # whole params tree per dispatch, and aliased buffers would
+    # invalidate the CALLER's nfr_params after the first epoch
+    params = jax.tree_util.tree_map(jnp.array, params)
     ema_state = init_vq_ema_state(cfg.z_dim, cfg.num_embed)
     return params, ema_state
 

@@ -217,7 +217,8 @@ def make_ref_nfr_step(cfg: dc.DecompConfig, lxyz, lareas):
     return tx, step_fn
 
 
-def make_plain_epoch_scan(step_fn, store, donate=(0, 1)):
+def make_plain_epoch_scan(step_fn, store, donate=(0, 1),
+                          sample_fn=None):
     """Scan a whole epoch of nfr_unit/ref_nfr steps in ONE dispatch.
 
     Batches are gathered inside the scan body from a device-resident
@@ -232,6 +233,30 @@ def make_plain_epoch_scan(step_fn, store, donate=(0, 1)):
     tests/test_device_store.py)."""
 
     gather = store.gather_in_jit
+
+    if sample_fn is not None:
+        # on-device sampling (data/device_sampler.py): the per-step ray
+        # indices are computed inside the scan from fold_in(base_key,
+        # step) — the host ships NOTHING per epoch and a resumed run
+        # replays the identical key stream by construction
+        @partial(jax.jit, donate_argnums=donate)
+        def run_ds(params, opt_state, arrays, vi_vec, steps_vec,
+                   base_key):
+            def body(carry, x):
+                p, o = carry
+                vi, stepf = x
+                pix = sample_fn(
+                    arrays, vi,
+                    jax.random.fold_in(base_key,
+                                       stepf.astype(jnp.int32)))
+                batch = gather(arrays, vi, pix)
+                p, o, ld = step_fn(p, o, batch, stepf)
+                return (p, o), ld
+            (params, opt_state), lds = jax.lax.scan(
+                body, (params, opt_state), (vi_vec, steps_vec))
+            return params, opt_state, lds
+
+        return run_ds
 
     @partial(jax.jit, donate_argnums=donate)
     def run(params, opt_state, arrays, vi_vec, pix_mat, steps_vec):
@@ -248,11 +273,34 @@ def make_plain_epoch_scan(step_fn, store, donate=(0, 1)):
     return run
 
 
-def make_vq_epoch_scan(step_fn, store):
+def make_vq_epoch_scan(step_fn, store, sample_fn=None):
     """Epoch scan for the vq_nfr step (threads EMA state and the
     pre-split per-step rng keys; see make_plain_epoch_scan)."""
 
     gather = store.gather_in_jit
+
+    if sample_fn is not None:
+        # keys_vec stays the VQ dropout/roll stream; the SAMPLING key
+        # is fold_in(base_key, step), independent of it
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def run_ds(params, ema_state, opt_state, arrays, thres,
+                   vi_vec, keys_vec, steps_vec, base_key):
+            def body(carry, x):
+                p, e, o = carry
+                vi, key, stepf = x
+                pix = sample_fn(
+                    arrays, vi,
+                    jax.random.fold_in(base_key,
+                                       stepf.astype(jnp.int32)))
+                batch = gather(arrays, vi, pix)
+                p, e, o, ld = step_fn(p, e, o, batch, thres, key, stepf)
+                return (p, e, o), ld
+            (params, ema_state, opt_state), lds = jax.lax.scan(
+                body, (params, ema_state, opt_state),
+                (vi_vec, keys_vec, steps_vec))
+            return params, ema_state, opt_state, lds
+
+        return run_ds
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def run(params, ema_state, opt_state, arrays, thres, vi_vec,

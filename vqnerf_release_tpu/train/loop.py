@@ -284,6 +284,46 @@ def _scan_epoch_loop(start_epoch, epochs, period, chunk, sample_xs,
         epoch = nxt
 
 
+def _resolve_device_sampling(cfg, store, train_views, jitter_mode):
+    """cfg.device_sampling -> a jit-safe sample_fn for the epoch scan,
+    or None (with a notice when the opt-in cannot apply: no scanned
+    store, row-sharded store, or heterogeneous view shapes)."""
+    if not getattr(cfg, "device_sampling", False):
+        return None
+    why = None
+    if store is None:
+        why = "the scanned device-store dispatch is not active"
+    elif store.sharded:
+        why = "device_views='shard' keeps the host index stream"
+    elif len({(v.h, v.w) for v in train_views}) != 1:
+        why = "views have heterogeneous shapes"
+    if why:
+        import sys
+        print("[vqnerf-tpu] device_sampling requested but %s; "
+              "falling back to host sampling" % why, file=sys.stderr)
+        return None
+    from ..data.device_sampler import make_device_sampler
+    v0 = train_views[0]
+    return make_device_sampler(store, v0.h, v0.w, cfg.n_rays_per_step,
+                               jitter_mode=jitter_mode)
+
+
+def _sampling_base_key(seed):
+    """Dedicated PRNG stream for on-device sampling — disjoint from the
+    VQ dropout stream (PRNGKey(seed)) by a fixed fold."""
+    return jax.random.fold_in(jax.random.PRNGKey(seed), 0x53616d70)
+
+
+def _epoch_scan_xs_nopix(train_views, step0, n_epochs=1):
+    """(vi [E*K], steps [E*K]) for device-sampling dispatches — the ray
+    indices are computed inside the scan, nothing else is staged."""
+    k = len(train_views)
+    vi = jnp.asarray(np.tile(np.arange(k, dtype=np.int32), n_epochs))
+    steps = jnp.asarray(
+        step0 + np.arange(n_epochs * k, dtype=np.float32))
+    return vi, steps
+
+
 _DECODE_CACHE = {}
 
 
@@ -660,8 +700,12 @@ def train_nfr_unit(cfg: dc.DecompConfig, train_views, vali_views, outdir,
                                                   jitter_mode)
     else:
         epoch_batches = store = None
-    run_epoch = (dt.make_plain_epoch_scan(step_fn, store)
-                 if _resolve_epoch_scan(cfg, store) else None)
+    scan_on = _resolve_epoch_scan(cfg, store)
+    sample_fn = _resolve_device_sampling(
+        cfg, store if scan_on else None, train_views, jitter_mode)
+    run_epoch = (dt.make_plain_epoch_scan(step_fn, store,
+                                          sample_fn=sample_fn)
+                 if scan_on else None)
     period = cfg_ckpt_period(cfg)
     chunk = _resolve_scan_chunk(cfg, run_epoch)
     k_steps = max(len(train_views), 1)
@@ -690,9 +734,17 @@ def train_nfr_unit(cfg: dc.DecompConfig, train_views, vali_views, outdir,
                       _epoch_dir(outdir, e1), outdir)
 
     if run_epoch is not None:
-        def sample_xs(n_ep):
-            return _epoch_scan_xs(train_views, cfg, rng, jitter_mode,
-                                  store, step, n_epochs=n_ep)
+        if sample_fn is not None:
+            skey = _sampling_base_key(seed)
+
+            def sample_xs(n_ep):
+                return _epoch_scan_xs_nopix(
+                    train_views, step, n_epochs=n_ep) + (skey,)
+        else:
+            def sample_xs(n_ep):
+                return _epoch_scan_xs(train_views, cfg, rng,
+                                      jitter_mode, store, step,
+                                      n_epochs=n_ep)
 
         def dispatch(xs):
             nonlocal params, opt_state, step
@@ -813,18 +865,29 @@ def train_vq_nfr(cfg: dc.DecompConfig, nfr_params, train_views, vali_views,
                                                   "random")
     else:
         epoch_batches = store = None
-    run_epoch = (dt.make_vq_epoch_scan(step_fn, store)
-                 if _resolve_epoch_scan(cfg, store) else None)
+    scan_on = _resolve_epoch_scan(cfg, store)
+    sample_fn = _resolve_device_sampling(
+        cfg, store if scan_on else None, train_views, "random")
+    run_epoch = (dt.make_vq_epoch_scan(step_fn, store,
+                                       sample_fn=sample_fn)
+                 if scan_on else None)
 
     def _vq_xs(step0, n_epochs=1):
         nonlocal key
-        vi, pix, steps = _epoch_scan_xs(
-            train_views, cfg, rng, "random", store, step0,
-            n_epochs=n_epochs)
+        if sample_fn is None:
+            vi, pix, steps = _epoch_scan_xs(
+                train_views, cfg, rng, "random", store, step0,
+                n_epochs=n_epochs)
+        else:  # indices sampled on device; keys_vec still staged below
+            vi, steps = _epoch_scan_xs_nopix(
+                train_views, step0, n_epochs=n_epochs)
+            pix = None
         subs = []  # same key stream as the step path
         for _ in range(n_epochs * len(train_views)):
             key, sub = jax.random.split(key)
             subs.append(sub)
+        if sample_fn is not None:
+            return vi, jnp.stack(subs), steps, _sampling_base_key(seed)
         return vi, pix, jnp.stack(subs), steps
 
     period = cfg_ckpt_period(cfg)
@@ -997,9 +1060,13 @@ def train_ref_nfr(cfg: dc.DecompConfig, vq_params, light, train_views,
     else:
         epoch_batches = store = None
     # donate only opt_state: params carry the frozen subtree
+    scan_on = _resolve_epoch_scan(cfg, store)
+    sample_fn = _resolve_device_sampling(
+        cfg, store if scan_on else None, train_views, "contrast")
     run_epoch = (dt.make_plain_epoch_scan(step_fn, store,
-                                          donate=(1,))
-                 if _resolve_epoch_scan(cfg, store) else None)
+                                          donate=(1,),
+                                          sample_fn=sample_fn)
+                 if scan_on else None)
     period = cfg_ckpt_period(cfg)
     chunk = _resolve_scan_chunk(cfg, run_epoch)
     k_steps = max(len(train_views), 1)
@@ -1033,9 +1100,16 @@ def train_ref_nfr(cfg: dc.DecompConfig, vq_params, light, train_views,
                          white_bg=cfg.white_bg, mode="vali")
 
     if run_epoch is not None:
-        def sample_xs(n_ep):
-            return _epoch_scan_xs(train_views, cfg, rng, "contrast",
-                                  store, step, n_epochs=n_ep)
+        if sample_fn is not None:
+            skey = _sampling_base_key(seed)
+
+            def sample_xs(n_ep):
+                return _epoch_scan_xs_nopix(
+                    train_views, step, n_epochs=n_ep) + (skey,)
+        else:
+            def sample_xs(n_ep):
+                return _epoch_scan_xs(train_views, cfg, rng, "contrast",
+                                      store, step, n_epochs=n_ep)
 
         def dispatch(xs):
             nonlocal params, opt_state, step
