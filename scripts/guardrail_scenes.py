@@ -66,11 +66,12 @@ CONFIGS = [
 ]
 
 
-def run_cell(shape, extra, root, geo_iters, imh, save_ckpt=False):
+def run_cell(shape, extra, root, geo_iters, imh, save_ckpt=False,
+             seed=0):
     out = subprocess.run(
         [sys.executable, SMOKE, "--root", root, "--shape", shape,
          "--stage1-only", "--geo-iters", str(geo_iters),
-         "--imh", str(imh)]
+         "--imh", str(imh), "--seed", str(seed)]
         + (["--save-ckpt"] if save_ckpt else []) + extra,
         capture_output=True, text=True)
     if out.returncode != 0:
@@ -102,6 +103,9 @@ def main():
     ap.add_argument("--save-ckpt", action="store_true",
                     help="keep each cell's final stage-1 checkpoint so "
                     "any render config can be re-scored post-hoc")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="stage-1 training seed (cells are seeded and "
+                    "deterministic; vary this to measure run spread)")
     ap.add_argument("--configs", default=None,
                     help="comma-separated subset of config names to run "
                     "(default: all); e.g. 'ref 64+64r4,occ 24+8r2/128'")
@@ -130,9 +134,11 @@ def main():
         for name, extra in CONFIGS:
             root = os.path.join(args.root, shape,
                                 name.replace(" ", "_").replace("+", "")
-                                .replace("/", "g"))
+                                .replace("/", "g")
+                                + ("_s%d" % args.seed if args.seed
+                                   else ""))
             p = run_cell(shape, extra, root, args.geo_iters, args.imh,
-                         save_ckpt=args.save_ckpt)
+                         save_ckpt=args.save_ckpt, seed=args.seed)
             table[shape][name] = p
             print(f"{shape:8s} {name:12s} parity {p['parity']:6.2f} dB"
                   f"  (train-render {p['train_render']:6.2f})",

@@ -183,6 +183,10 @@ def main():
                     help="save the final stage-1 checkpoint (guardrail "
                     "cells can then be re-rendered under any sampler "
                     "without retraining)")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="stage-1 training seed (cells are otherwise "
+                    "deterministic — seed-varied cells are how the "
+                    "guardrail measures run spread)")
     ap.add_argument("--empty-n-samples", type=int, default=8,
                     help="cheap-tier sample count for --adaptive-empty")
     args = ap.parse_args()
@@ -235,7 +239,8 @@ def main():
                            tail_sampler=(args.geo_tail_sampler
                                          if args.geo_tail_frac else ""),
                            steps_per_dispatch=8)
-    runner = NeuSRunner(cfg1, tcfg, ds, join(root, "exp"), seed=0)
+    runner = NeuSRunner(cfg1, tcfg, ds, join(root, "exp"),
+                        seed=args.seed)
     runner.train(log_every=max(args.geo_iters // 8, 1))
     if args.save_ckpt:
         runner.save_checkpoint()
