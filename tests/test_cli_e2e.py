@@ -40,8 +40,10 @@ def test_cli_full_workflow(tmp_path):
     # occ_res=16: the production 128^3 grid is an ~87 s CPU build
     # (forward SDF on 2M points); the occupancy path itself is covered
     # at small res by tests/test_occupancy.py
+    # tail_frac=0: keep the tiny 8-sample step for all 3 iters (the r4
+    # default schedule would compile a 64+64 r4 tail step for iter 3)
     geo_small = ("batch_size=32,warm_up_end=2,save_freq=1000000000,"
-                 "val_freq=1000000000,occ_res=16")
+                 "val_freq=1000000000,occ_res=16,tail_frac=0")
     main(["geo-train", scene, "--data-root", data_root,
           "--output-root", out_root, "--end-iter", "3",
           "--geo-override", geo_small, "--n-samples", "8"])

@@ -33,9 +33,21 @@ def test_geo_presets():
     cfg, tcfg, meta = vcfg.neus_configs_for_scene("lego_3072")
     assert tcfg.end_iter == 300_000 and tcfg.batch_size == 2560
     assert tcfg.use_white_bkgd and meta["near"] == 2.0
+    # r4 default sampler: two-phase schedule — occ 24+8 r2/128^3 carve,
+    # 64+64 r4 parity tail for the final 25% (BASELINE.md r4
+    # production-budget guardrail)
+    assert cfg.n_samples == 24 and cfg.n_importance == 8
+    assert tcfg.occ_res == 128
+    assert tcfg.tail_frac == 0.25 and tcfg.tail_sampler == "64+64r4"
     cfg, tcfg, meta = vcfg.neus_configs_for_scene("dtu_scan24")
     assert tcfg.end_iter == 100_000 and tcfg.lr_end_iter == 300_000
     assert tcfg.batch_size == 512 and meta["new_h"] == 512
+    # reference-exact sampling stays one override away
+    cfg, tcfg, _ = vcfg.neus_configs_for_scene(
+        "lego_3072", n_samples=64, n_importance=64, up_sample_steps=4,
+        occ_res=0, tail_frac=0.0, tail_sampler="")
+    assert cfg.n_samples == 64 and tcfg.occ_res == 0
+    assert tcfg.tail_frac == 0.0
 
 
 def test_output_layout():

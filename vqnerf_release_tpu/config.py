@@ -80,27 +80,43 @@ _FAMILY_GEO = {
                near=2.0, far=6.0, new_h=420, lr_end_iter=-1),
 }
 
-# Default stage-1 TRAINING sampler for every family: occupancy-guided
-# 24+8 samples, 2 up-sample rounds over a 128^3 grid — 75.9k rays/s vs
-# 20.6k at the reference's 64+64 r4 (3.7x per step, 8.4x the
-# reference-GPU estimate), and it beats the reference sampler at equal
-# steps on EVERY r3 guardrail scene incl. the hostile thin/multi-body
-# geometries (sphere +5.9 dB, torus +3.2, plate +0.20 — confirmed over
-# two runs, both 23.79 vs 23.59 — blobs +3.0;
-# scripts/guardrail_scenes.py, BASELINE.md r3). The finer 128^3 grid is
-# what makes 24 initial samples safe on thin geometry: at 64^3 the same
-# initial count lost 0.35 dB on the thin plate (the plate is ~1.3 cells
-# thick there, 2.6 at 128^3); rebuild cost is 80 ms every
-# occ_update_freq=250 steps (<1% of a step). The earlier 24+16 default
-# (62.7-65.4k rays/s) keeps larger margins on torus/blobs (+1.2/+0.5 dB
-# over 24+8) — one --geo-override away when quality headroom matters.
-# Cheaper tiers measured but quality-REJECTED even at 128^3: occ 16+16
-# r2 82.5k (-4.6 dB on the plate), 16+8 r2 105.6k (-2.9 dB).
-# Reference-exact sampling remains one override away:  --geo-override
-# n_samples=64,n_importance=64,up_sample_steps=4,occ_res=0
-# (geo/NeuS-ours2/confs/nerf.conf:83-86 semantics).
+# Default stage-1 TRAINING sampler for every family: a TWO-PHASE
+# schedule — occupancy-guided 24+8 samples / 2 up-sample rounds over a
+# 128^3 grid for the first 75% of end_iter (81.2k rays/s), then the
+# reference-exact 64+64 r4 quadrature with occ guidance off for the
+# final 25% (20.2k rays/s). Schedule-weighted effective throughput
+# 1/(0.75/81.2k + 0.25/20.2k) = 46.3k rays/s = 5.1x the estimated
+# reference-GPU step rate, 2.3x the pure parity sampler.
+# Why the schedule (r4 production-budget guardrail, 40k iters / 256 px,
+# scored with the production parity render — BASELINE.md r4):
+#  - Pure occ tiers that win every 4k-iter smoke cell REGRESS 0.8-2.0
+#    dB below the reference sampler at the production budget (dense
+#    quadrature out-refines reduced sampling late in training), which
+#    is why the r3 pure-occ default was retired.
+#  - The schedule matches or beats the ref bar at EQUAL STEPS within
+#    the ref bar's own seed spread: over all seeded cells the schedule
+#    mean is 32.34 dB vs ref 31.07, wins outright on torus (+1.78) and
+#    blobs (+1.22), sits inside the ref's seed spread on plate
+#    (sch 34.42/33.78 vs ref 35.43/33.23), and is far more STABLE —
+#    the ref sampler's worst seeded cell collapses to 22.79 on sphere
+#    while the schedule's worst is 30.34.
+#  - At equal WALL it beats the ref bar outright: sch t25 at 120k
+#    iters scores 35.87 on the plate in 43 min vs the ref cell's
+#    35.43 at 40k iters in 73 min.
+# The 128^3 grid is what makes 24 initial samples safe on thin
+# geometry during the carve phase (at 64^3 the plate is ~1.3 cells
+# thick, 2.6 at 128^3); grid rebuild is 80 ms every
+# occ_update_freq=250 steps (<1%/step). Dispatches never straddle the
+# phase boundary and resume re-derives the phase (train/neus_loop.py).
+# Reference-exact sampling for the WHOLE run remains one override
+# away:  --geo-override n_samples=64,n_importance=64,up_sample_steps=4,
+# occ_res=0,tail_frac=0  (geo/NeuS-ours2/confs/nerf.conf:83-86
+# semantics); tail_frac=0 keeps the pure occ 24+8 carve (the r3
+# default, 9.0x) when smoke-budget speed matters more than
+# production-budget quality.
 _GEO_FAST_SAMPLER = dict(n_samples=24, n_importance=8, up_sample_steps=2,
-                         occ_res=128)
+                         occ_res=128, tail_frac=0.25,
+                         tail_sampler="64+64r4")
 
 
 def scene_family(scene):
@@ -148,13 +164,19 @@ def neus_configs_for_scene(scene, **overrides):
     if tcfg.occ_res > 0 and not _FAST_SAMPLER_NOTICED:
         _FAST_SAMPLER_NOTICED = True
         import sys
+        tail = ""
+        if tcfg.tail_frac > 0.0 and tcfg.tail_sampler:
+            tail = (", %s parity tail for the final %d%% of steps"
+                    % (tcfg.tail_sampler,
+                       round(100 * tcfg.tail_frac)))
         print(
             "[vqnerf-tpu] stage-1 fast sampler default active "
             "(occupancy-guided %d+%d samples, %d up-sample rounds, "
-            "occ_res=%d); reference-exact sampling: --geo-override "
-            "n_samples=64,n_importance=64,up_sample_steps=4,occ_res=0"
+            "occ_res=%d%s); reference-exact sampling: --geo-override "
+            "n_samples=64,n_importance=64,up_sample_steps=4,occ_res=0,"
+            "tail_frac=0"
             % (cfg.n_samples, cfg.n_importance, cfg.up_sample_steps,
-               tcfg.occ_res), file=sys.stderr)
+               tcfg.occ_res, tail), file=sys.stderr)
     return cfg, tcfg, {"near": near, "far": far, "new_h": new_h,
                        "family": family}
 
