@@ -367,6 +367,12 @@ def main():
     parity = by_name.get("geo_train_parity_rays_per_sec")
     if carve and parity:  # the default-schedule effective number
         metrics.insert(1, geo_train_schedule_metric(carve, parity))
+    else:  # keep the headline key present on partial failure
+        metrics.insert(1, {
+            "metric": "geo_train_rays_per_sec",
+            "error": "phase bench missing: carve=%s parity=%s" % (
+                "ok" if carve else "failed",
+                "ok" if parity else "failed")})
     head = next((m for m in metrics
                  if m.get("metric") == "decomp_train_rays_per_sec"
                  and "value" in m), None)

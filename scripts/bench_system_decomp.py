@@ -74,8 +74,11 @@ def run_mode(mode, views, args, root):
         light_h=args.light_h, imh=args.imh,
         total_sample_vq=2000, device_views=dv, epoch_scan=scan,
         epoch_scan_chunk=args.chunk if mode == "chunk" else 1,
+        # mirror loop._resolve_device_sampling's fallback (sharded
+        # stores keep the host stream) so the reported flag labels what
+        # actually ran, not what was requested
         device_sampling=bool(getattr(args, "device_sampling", False)
-                             and scan))
+                             and scan and dv != "shard"))
     nfr_params = init_nfr_unit(0, cfg)
     out = join(root, mode)
     shutil.rmtree(out, ignore_errors=True)

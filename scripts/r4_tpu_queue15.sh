@@ -63,4 +63,11 @@ stamp "bench.py at final HEAD"
 timeout 3600 python bench.py > /tmp/r4/bench_final.log 2>&1
 echo "bench exit=$?"
 tail -2 /tmp/r4/bench_final.log
+
+stamp "system decomp with device sampling (post contrast-precompute)"
+timeout 3600 python scripts/bench_system_decomp.py \
+  --modes scan,chunk --epochs 19 --device-sampling \
+  > /tmp/r4/system_decomp_devsample2.log 2>&1
+echo "exit=$?"
+tail -4 /tmp/r4/system_decomp_devsample2.log
 stamp "queue 15 done"

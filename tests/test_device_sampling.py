@@ -58,6 +58,14 @@ def test_device_sampler_contract(jitter_mode):
                       for dy, dx in _JITTERS]
             dy, dx = _JITTERS[int(np.argmax(deltas))]
             assert int(ji) == (y + dy) * w + (x + dx)
+        # the host-precomputed jitter table (views=...) must reproduce
+        # the in-scan computation exactly
+        import jax
+        fn_pre = make_device_sampler(store, h, w, 64,
+                                     jitter_mode="contrast",
+                                     views=views)
+        pix3 = np.asarray(fn_pre(store.arrays, np.int32(0), key))
+        np.testing.assert_array_equal(pix, pix3)
 
 
 def test_device_sampler_empty_view_pads():
@@ -69,6 +77,30 @@ def test_device_sampler_empty_view_pads():
     fn = make_device_sampler(store, v.h, v.w, 8)
     pix = np.asarray(fn(store.arrays, np.int32(0), jax.random.PRNGKey(0)))
     assert (pix == store.pad_index).all()
+
+
+def test_device_sampler_pads_to_mesh_multiple():
+    """2*n_rays not divisible by the mesh: the device sampler must pad
+    with masked pad rows to the same length the host-staged path
+    produces (2n + (-2n) % n_dev) so shapes/layout agree."""
+    import jax
+
+    from vqnerf_release_tpu.parallel import get_mesh
+    mesh = get_mesh()
+    if mesh.devices.size == 1:
+        pytest.skip("needs a >1-device mesh")
+    views = [_view(3)]
+    store = DeviceViewStore(views, mesh=mesh)
+    n_rays = 6  # 12 % 8 != 0 on the 8-device test mesh
+    fn = make_device_sampler(store, views[0].h, views[0].w, n_rays)
+    pix = np.asarray(fn(store.arrays, np.int32(0),
+                        jax.random.PRNGKey(0)))
+    n_dev = mesh.devices.size
+    want = 2 * n_rays + (-2 * n_rays) % n_dev
+    assert pix.shape == (want,)
+    assert (pix[2 * n_rays:] == store.pad_index).all()
+    alpha = views[0].alpha.reshape(-1)
+    assert (alpha[pix[:2 * n_rays]] > 0.9).all()
 
 
 def test_device_sampler_rejects_sharded_store():

@@ -33,10 +33,13 @@ __all__ = ["make_device_sampler"]
 
 
 def make_device_sampler(store, h, w, n_rays, jitter_mode="random",
-                        alpha_thres=0.9):
-    """Build sample(arrays, view_idx, key) -> [2*n_rays] i32 flat pixel
-    indices, jit-safe inside the epoch scan. ``store`` supplies
-    row_stride/pad_index; ``h, w`` are the (homogeneous) view shape."""
+                        alpha_thres=0.9, views=None):
+    """Build sample(arrays, view_idx, key) -> [2*n_rays (+mesh pad)]
+    i32 flat pixel indices, jit-safe inside the epoch scan. ``store``
+    supplies row_stride/pad_index; ``h, w`` are the (homogeneous) view
+    shape. ``views`` (optional, same order as the store): lets the
+    deterministic contrast-mode jitter choice be precomputed ONCE on
+    the host instead of recomputed from the full image every step."""
     if store.sharded:
         raise ValueError(
             "device sampling needs a replicated store "
@@ -51,22 +54,44 @@ def make_device_sampler(store, h, w, n_rays, jitter_mode="random",
     xs = (jnp.arange(iw, dtype=jnp.int32) + 1)[None, :]
     c_flat = (ys * w + xs).reshape(-1)  # interior centers [ih*iw]
 
+    jidx_table = None
+    if jitter_mode == "contrast" and views is not None:
+        # rgb never changes during training, so the per-view argmax
+        # jitter (trainvali.py:361) is a training-time constant
+        import numpy as np
+        rows = []
+        for v in views:
+            rgb = np.asarray(v.rgb, np.float32).reshape(h, w, 3)
+            center = rgb[1:-1, 1:-1]
+            deltas = np.stack([
+                np.max(np.abs(
+                    rgb[1 + dy:h - 1 + dy, 1 + dx:w - 1 + dx] - center),
+                    axis=-1)
+                for dy, dx in _JITTERS])  # [8, ih, iw]
+            rows.append(np.argmax(deltas, axis=0).reshape(-1))
+        jidx_table = jnp.asarray(np.stack(rows), jnp.int32)  # [V,ih*iw]
+
     def sample(arrays, view_idx, key):
         base = view_idx * stride
         alpha = jax.lax.dynamic_slice_in_dim(
             arrays["alpha"], base, hw, axis=0)[:, 0]
         if jitter_mode == "contrast":
-            # deterministic: neighbor with max channel-max |rgb delta|
-            # (trainvali.py:361); ties -> first, same as np.argmax
-            rgb = jax.lax.dynamic_slice_in_dim(
-                arrays["rgb"], base, hw, axis=0).reshape(h, w, 3)
-            center = rgb[1:-1, 1:-1]
-            deltas = jnp.stack([
-                jnp.max(jnp.abs(
-                    rgb[1 + dy:h - 1 + dy, 1 + dx:w - 1 + dx] - center),
-                    axis=-1)
-                for dy, dx in _JITTERS])  # [8, ih, iw]
-            jidx = jnp.argmax(deltas, axis=0).reshape(-1)
+            if jidx_table is not None:
+                jidx = jax.lax.dynamic_slice_in_dim(
+                    jidx_table, view_idx, 1, axis=0)[0]
+            else:
+                # deterministic: neighbor with max channel-max |rgb
+                # delta| (trainvali.py:361); ties -> first, same as
+                # np.argmax
+                rgb = jax.lax.dynamic_slice_in_dim(
+                    arrays["rgb"], base, hw, axis=0).reshape(h, w, 3)
+                center = rgb[1:-1, 1:-1]
+                deltas = jnp.stack([
+                    jnp.max(jnp.abs(
+                        rgb[1 + dy:h - 1 + dy, 1 + dx:w - 1 + dx]
+                        - center), axis=-1)
+                    for dy, dx in _JITTERS])  # [8, ih, iw]
+                jidx = jnp.argmax(deltas, axis=0).reshape(-1)
             k_sel = key
         else:
             k_jit, k_sel = jax.random.split(key)
@@ -88,13 +113,19 @@ def make_device_sampler(store, h, w, n_rays, jitter_mode="random",
         pj = jnp.where(empty, pad_index, pj)
         pix = jnp.stack([pc, pj], axis=-1).reshape(-1)
         mesh = store._mesh
-        if mesh is not None and (2 * n_rays) % mesh.devices.size == 0:
+        if mesh is not None and mesh.devices.size > 1:
             from jax.sharding import NamedSharding
             from jax.sharding import PartitionSpec as P
 
             from ..parallel.mesh import RAY_AXIS
-            # keep the gathered batch ray-sharded (the layout the
-            # host-staged index stream arrives in)
+            # pad to a device multiple with masked pad rows and keep
+            # the gathered batch ray-sharded — the exact shape/layout
+            # the host-staged index stream arrives in
+            # (train/loop.py::_epoch_scan_xs pads the same way)
+            extra = (-pix.shape[0]) % mesh.devices.size
+            if extra:
+                pix = jnp.concatenate(
+                    [pix, jnp.full((extra,), pad_index, jnp.int32)])
             pix = jax.lax.with_sharding_constraint(
                 pix, NamedSharding(mesh, P(RAY_AXIS)))
         return pix

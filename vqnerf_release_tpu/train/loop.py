@@ -305,7 +305,8 @@ def _resolve_device_sampling(cfg, store, train_views, jitter_mode):
     from ..data.device_sampler import make_device_sampler
     v0 = train_views[0]
     return make_device_sampler(store, v0.h, v0.w, cfg.n_rays_per_step,
-                               jitter_mode=jitter_mode)
+                               jitter_mode=jitter_mode,
+                               views=train_views)
 
 
 def _sampling_base_key(seed):
@@ -401,10 +402,8 @@ def _epoch_scan_xs(train_views, cfg, rng, jitter_mode, store, step0,
     ]).astype(np.int32)
     mesh = _get_mesh()
     n_dev = mesh.devices.size
-    k = len(train_views)
-    vi = jnp.asarray(np.tile(np.arange(k, dtype=np.int32), n_epochs))
-    steps = jnp.asarray(
-        step0 + np.arange(n_epochs * k, dtype=np.float32))
+    vi, steps = _epoch_scan_xs_nopix(train_views, step0,
+                                     n_epochs=n_epochs)
 
     widths = {v.w for v in train_views}
     enc = (_encode_pairs(pix, train_views[0].w)
@@ -881,7 +880,6 @@ def train_vq_nfr(cfg: dc.DecompConfig, nfr_params, train_views, vali_views,
         else:  # indices sampled on device; keys_vec still staged below
             vi, steps = _epoch_scan_xs_nopix(
                 train_views, step0, n_epochs=n_epochs)
-            pix = None
         subs = []  # same key stream as the step path
         for _ in range(n_epochs * len(train_views)):
             key, sub = jax.random.split(key)
