@@ -66,6 +66,15 @@ def test_cli_full_workflow(tmp_path):
     ref_out = join(out_root, "train", scene + "_ref_nfr", "lr5e-4")
     assert os.path.isdir(join(ref_out, "checkpoints"))
 
+    # reference --debug parity (trainvali.py:60-61, 233-236): eager
+    # step, one epoch, single train view — must complete all 3 phases
+    dbg_root = out_root + "_dbg"
+    main(["decomp-train", scene, "--data-root", data_root,
+          "--output-root", dbg_root, "--surf-root", surf,
+          "--preset-override", small, "--debug"])
+    assert os.path.isdir(join(dbg_root, "train", scene + "_ref_nfr",
+                              "lr5e-4", "checkpoints"))
+
     env_dir = str(tmp_path / "envs")
     os.makedirs(env_dir)
     cv2.imwrite(join(env_dir, "city.hdr"),

@@ -13,6 +13,7 @@ mirroring output/train/<scene>_<model>/lr<lr> and surf/<family>_surf.
 
 import argparse
 import os
+import sys
 from typing import Optional
 
 import numpy as np
@@ -266,6 +267,16 @@ def _run_decomp_train(args):
     if args.epochs:
         from dataclasses import replace
         cfg = replace(cfg, epochs=args.epochs)
+    debug = bool(getattr(args, "debug", False))
+    if debug:
+        # reference --debug semantics (trainvali.py:60-61, 233-236;
+        # datasets/shape_unit.py:59-61): eager step instead of the
+        # compiled one, stop after one batch, train on a single view
+        from dataclasses import replace
+        cfg = replace(cfg, epochs=1, device_views="off",
+                      epoch_scan=False, device_sampling=False)
+        print("[vqnerf-tpu] --debug: eager (jax.disable_jit), 1 epoch, "
+              "single train view", file=sys.stderr)
     surf_root = args.surf_root or vcfg.surf_dir(
         os.path.join(args.output_root, "surf"), args.scene)
 
@@ -285,6 +296,8 @@ def _run_decomp_train(args):
 
     train_views = views("train")
     vali_views = views("vali")[:8]
+    if debug:
+        train_views, vali_views = train_views[:1], vali_views[:1]
 
     phases = (["nfr_unit", "vq_nfr", "ref_nfr"]
               if args.phase == "all" else [args.phase])
@@ -293,24 +306,31 @@ def _run_decomp_train(args):
     vq_out = vcfg.train_outdir(args.output_root, args.scene, "vq_nfr")
     ref_out = vcfg.train_outdir(args.output_root, args.scene, "ref_nfr")
 
-    nfr_params = None
-    if "nfr_unit" in phases:
-        nfr_params, _ = loop.train_nfr_unit(
-            cfg, train_views, vali_views, nfr_out)
-    vq_params = None
-    if "vq_nfr" in phases:
-        if nfr_params is None:
-            nfr_params = _load_phase_params(nfr_out, cfg, "nfr_unit")
-        vq_params, _, _ = loop.train_vq_nfr(
-            cfg, nfr_params, train_views, vali_views, vq_out)
-    if "ref_nfr" in phases:
-        if vq_params is None:
-            vq_params = _load_phase_params(vq_out, cfg, "vq_nfr")
-        light = np.load(os.path.join(vq_out, "vis_vali", "np_light.npy"))
-        t_views = views("train", with_ref=True)
-        v_views = views("vali", with_ref=True)[:8]
-        loop.train_ref_nfr(cfg, vq_params, light, t_views, v_views,
-                           ref_out)
+    import contextlib
+    import jax
+    eager = jax.disable_jit() if debug else contextlib.nullcontext()
+    with eager:
+        nfr_params = None
+        if "nfr_unit" in phases:
+            nfr_params, _ = loop.train_nfr_unit(
+                cfg, train_views, vali_views, nfr_out)
+        vq_params = None
+        if "vq_nfr" in phases:
+            if nfr_params is None:
+                nfr_params = _load_phase_params(nfr_out, cfg, "nfr_unit")
+            vq_params, _, _ = loop.train_vq_nfr(
+                cfg, nfr_params, train_views, vali_views, vq_out)
+        if "ref_nfr" in phases:
+            if vq_params is None:
+                vq_params = _load_phase_params(vq_out, cfg, "vq_nfr")
+            light = np.load(
+                os.path.join(vq_out, "vis_vali", "np_light.npy"))
+            t_views = views("train", with_ref=True)
+            v_views = views("vali", with_ref=True)[:8]
+            if debug:
+                t_views, v_views = t_views[:1], v_views[:1]
+            loop.train_ref_nfr(cfg, vq_params, light, t_views, v_views,
+                               ref_out)
 
 
 def _load_phase_params(outdir, cfg, phase):
@@ -672,6 +692,9 @@ def main(argv=None):
                    help="k=v,... overrides onto the family preset")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax profiler trace (TensorBoard)")
+    p.add_argument("--debug", action="store_true",
+                   help="eager step (jax.disable_jit), 1 epoch, single "
+                   "train view — the reference's trainvali.py --debug")
     p.set_defaults(fn=cmd_decomp_train)
 
     p = sub.add_parser("test")
