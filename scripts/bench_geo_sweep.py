@@ -104,14 +104,15 @@ def main():
     tcfg = NeuSTrainConfig(batch_size=b)
 
     if args.cells:
-        import re
+        from vqnerf_release_tpu.config import parse_sampler_spec
         for cell in args.cells.split(","):
-            m = re.fullmatch(r"(\d+)\+(\d+)r(\d+)", cell.strip())
-            if not m:
-                raise SystemExit(f"bad cell {cell!r}; want e.g. 24+8r2")
-            s, i, r = map(int, m.groups())
-            ncfg = NeuSConfig(n_samples=s, n_importance=i,
-                              up_sample_steps=r)
+            try:
+                spec = parse_sampler_spec(cell)
+            except ValueError as e:
+                raise SystemExit(str(e))
+            s, i, r = (spec["n_samples"], spec["n_importance"],
+                       spec["up_sample_steps"])
+            ncfg = NeuSConfig(**spec)
             time_config(f"occ {s}+{i} r{r} b{b} res{args.occ_res}",
                         ncfg, tcfg, b, n_iters=args.iters,
                         occ_res=args.occ_res)

@@ -41,6 +41,11 @@ stamp "waiting for G2 plate scene (4 cells) or G2 exit"
 while ps -p "${G2_PID}" > /dev/null 2>&1; do
   n_plate=$(grep -c "^plate" /tmp/r4/guard_parity.log 2>/dev/null || true)
   if [ "${n_plate:-0}" -ge 4 ]; then
+    # NOTE (post-hoc review): killing an in-flight cell risks
+    # aborting a host<->device transfer, which wedges the axon
+    # tunnel for EVERY process for 30+ min (CLAUDE.md). These
+    # kills landed between transfers and got lucky; do NOT reuse
+    # this pattern — bound cells with `timeout` instead.
     stamp "plate done (${n_plate} cells) — killing G2 before blobs"
     kill "${G2_PID}" 2>/dev/null
     sleep 10

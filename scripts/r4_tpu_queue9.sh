@@ -31,6 +31,11 @@ while ps -p "${Q8_PID}" > /dev/null 2>&1; do
   p=$(cat /tmp/r4/cell.pid 2>/dev/null || true)
   if [ -n "${p}" ] && [ -r "/proc/${p}/cmdline" ] \
      && tr '\0' ' ' < "/proc/${p}/cmdline" | grep -q "torus_t40"; then
+    # NOTE (post-hoc review): killing an in-flight cell risks
+    # aborting a host<->device transfer, which wedges the axon
+    # tunnel for EVERY process for 30+ min (CLAUDE.md). These
+    # kills landed between transfers and got lucky; do NOT reuse
+    # this pattern — bound cells with `timeout` instead.
     stamp "killing queue8's torus_t40 cell (pid ${p})"
     kill "${p}" 2>/dev/null
     sleep 5

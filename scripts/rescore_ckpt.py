@@ -19,7 +19,6 @@ plus one JSON line for scripting.
 import argparse
 import json
 import os
-import re
 import sys
 from os.path import join
 
@@ -52,11 +51,9 @@ def main():
     from vqnerf_release_tpu.train.neus_loop import NeuSRunner
     from vqnerf_release_tpu.train.neus_trainer import NeuSTrainConfig
 
-    m = re.fullmatch(r"(\d+)\+(\d+)r(\d+)", args.sampler)
-    assert m, "--sampler must look like 64+64r4"
-    cfg = NeuSConfig(n_samples=int(m.group(1)),
-                     n_importance=int(m.group(2)),
-                     up_sample_steps=int(m.group(3)))
+    from vqnerf_release_tpu.config import parse_sampler_spec
+    cfg = NeuSConfig(**parse_sampler_spec(args.sampler,
+                                          what="--sampler"))
 
     scene = join(args.root, "scene")
     ds = NerfSceneDataset(scene, is_train=(args.views == "train"),

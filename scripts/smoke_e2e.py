@@ -216,12 +216,9 @@ def main():
     # ---- stage 1
     t0 = time.time()
     ds = NerfSceneDataset(scene_dir, is_train=True, near=1.2, far=3.5)
-    import re
-    m = re.fullmatch(r"(\d+)\+(\d+)r(\d+)", args.geo_sampler)
-    assert m, "--geo-sampler must look like 40+40r4"
-    cfg1 = NeuSConfig(n_samples=int(m.group(1)),
-                      n_importance=int(m.group(2)),
-                      up_sample_steps=int(m.group(3)))
+    from vqnerf_release_tpu.config import parse_sampler_spec
+    cfg1 = NeuSConfig(**parse_sampler_spec(args.geo_sampler,
+                                           what="--geo-sampler"))
     print(f"== stage-1 sampler {args.geo_sampler}"
           + (f" + occ grid {args.occ_res}^3" if args.occ_res else ""))
     # steps_per_dispatch=8: semantically identical to single steps

@@ -194,6 +194,18 @@ def test_edit_web_paint_and_custom_brdf(tmp_path):
         except urllib.error.HTTPError as e:
             assert e.code == 400
             assert "[0, 1]" in json.loads(e.read())["error"]
+        # NaN must not slip through the range check (NaN >= 0 is
+        # False, which used to route it into the keep-channel branch;
+        # python json accepts the NaN literal)
+        try:
+            _req(port, "/api/submit", {
+                "material": {"diff": [float("nan"), 0, 0],
+                             "spec": [0, 0, 0], "rough": [0.2]},
+                "env": "original"})
+            assert False, "expected HTTP 400 for NaN BRDF"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "finite" in json.loads(e.read())["error"]
         # wrong-shape mask rejected
         bad = np.zeros((h + 2, w), bool)
         try:

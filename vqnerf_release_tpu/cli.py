@@ -391,34 +391,46 @@ def cmd_ini_train(args):
     outroot = raw.get("outroot", "./output/train/run")
     xname = raw.get("xname", "lr{lr}").format(**raw)
     outdir = os.path.join(outroot, xname)
+    debug = bool(getattr(args, "debug", False))
+    if debug:  # trainvali.py:60-61, 233-236 --debug semantics
+        from dataclasses import replace
+        cfg = replace(cfg, epochs=1, device_views="off",
+                      epoch_scan=False, device_sampling=False)
+        print("[vqnerf-tpu] --debug: eager (jax.disable_jit), 1 epoch, "
+              "single train view", file=sys.stderr)
 
     def views(mode, with_ref=False):
         ds = ShapeDataset(data_root, surf_root, data_type=cfg.data_type,
                           imh=cfg.imh, white_bg=cfg.white_bg, mode=mode,
                           with_ref=with_ref)
-        return [ds.load_view(f) for f in ds.files]
+        vs = [ds.load_view(f) for f in ds.files]
+        return vs[:1] if debug else vs
 
-    if model == "nfr_unit":
-        loop.train_nfr_unit(cfg, views("train"), views("vali")[:8],
-                            outdir)
-    elif model == "vq_nfr":
-        nfr_params = _load_phase_params(
-            os.path.dirname(os.path.dirname(raw["nfr_model_ckpt"])),
-            cfg, "nfr_unit")
-        loop.train_vq_nfr(cfg, nfr_params, views("train"),
-                          views("vali")[:8], outdir,
-                          cluster_path=raw.get("cluster_center_path"))
-    elif model == "ref_nfr":
-        vq_dir = os.path.dirname(
-            os.path.dirname(raw["nfr_model_ckpt"]))
-        vq_params = _load_phase_params(vq_dir, cfg, "vq_nfr")
-        light = _np.load(
-            os.path.join(vq_dir, "vis_vali", "np_light.npy"))
-        loop.train_ref_nfr(cfg, vq_params, light,
-                           views("train", with_ref=True),
-                           views("vali", with_ref=True)[:8], outdir)
-    else:
-        raise NotImplementedError(model)
+    import contextlib
+
+    import jax
+    with jax.disable_jit() if debug else contextlib.nullcontext():
+        if model == "nfr_unit":
+            loop.train_nfr_unit(cfg, views("train"), views("vali")[:8],
+                                outdir)
+        elif model == "vq_nfr":
+            nfr_params = _load_phase_params(
+                os.path.dirname(os.path.dirname(raw["nfr_model_ckpt"])),
+                cfg, "nfr_unit")
+            loop.train_vq_nfr(cfg, nfr_params, views("train"),
+                              views("vali")[:8], outdir,
+                              cluster_path=raw.get("cluster_center_path"))
+        elif model == "ref_nfr":
+            vq_dir = os.path.dirname(
+                os.path.dirname(raw["nfr_model_ckpt"]))
+            vq_params = _load_phase_params(vq_dir, cfg, "vq_nfr")
+            light = _np.load(
+                os.path.join(vq_dir, "vis_vali", "np_light.npy"))
+            loop.train_ref_nfr(cfg, vq_params, light,
+                               views("train", with_ref=True),
+                               views("vali", with_ref=True)[:8], outdir)
+        else:
+            raise NotImplementedError(model)
 
 
 def cmd_edit_server(args):
@@ -707,6 +719,9 @@ def main(argv=None):
     p = sub.add_parser("ini-train")
     p.add_argument("--config", required=True)
     p.add_argument("--config-override", default="")
+    p.add_argument("--debug", action="store_true",
+                   help="eager step, 1 epoch, single train view "
+                   "(trainvali.py --debug)")
     p.set_defaults(fn=cmd_ini_train)
 
     p = sub.add_parser("edit-server")

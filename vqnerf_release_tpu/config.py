@@ -26,7 +26,25 @@ __all__ = [
     "decomp_config_for_scene", "neus_configs_for_scene",
     "load_ini", "decomp_config_from_ini", "apply_overrides",
     "surf_dir", "train_outdir", "rewrite_ini_paths",
+    "parse_sampler_spec",
 ]
+
+
+def parse_sampler_spec(spec, what="sampler spec"):
+    """'64+64r4' -> dict(n_samples=64, n_importance=64,
+    up_sample_steps=4) — the one place the sampler-spec grammar lives
+    (tail_sampler, --geo-sampler, --vis-sampler, rescore/sweep cells).
+    Raises ValueError on anything else; ``what`` names the offending
+    option in the message."""
+    import re
+    m = re.fullmatch(r"(\d+)\+(\d+)r(\d+)", spec.strip())
+    if not m:
+        raise ValueError(
+            f"{what} must look like '64+64r4' "
+            f"(<n_samples>+<n_importance>r<up_sample_steps>), "
+            f"got {spec!r}")
+    return dict(n_samples=int(m.group(1)), n_importance=int(m.group(2)),
+                up_sample_steps=int(m.group(3)))
 
 # scene -> dataset family (helpers.py + scripts/train.sh dispatch)
 SCENE_FAMILY = {

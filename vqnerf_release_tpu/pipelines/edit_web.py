@@ -294,7 +294,11 @@ class EditSession:
             if len(vals) != n:
                 raise ValueError(f"{key} needs {n} values, got {vals}")
             # negative first channel = keep-channel (MATERIAL_DB
-            # convention); otherwise BRDF values live in [0, 1]
+            # convention); otherwise BRDF values live in [0, 1].
+            # NaN must not slip through either branch (NaN >= 0 and
+            # NaN <= 1 are both False)
+            if not all(np.isfinite(v) for v in vals):
+                raise ValueError(f"{key} values must be finite")
             if vals[0] >= 0 and not all(0.0 <= v <= 1.0 for v in vals):
                 raise ValueError(f"{key} values must be in [0, 1]")
             out[key] = vals

@@ -102,6 +102,11 @@ class GeoExtractor:
         self.use_white_bkgd = use_white_bkgd
         self.batch_size = batch_size
         self.vis_point_batch = vis_point_batch
+        # max in-flight dispatched batches in the lvis loops: enough to
+        # keep host pulls overlapped with device renders, while bounding
+        # resident outputs to window*[bs, L] f32 (dispatching ALL
+        # batches first scales peak HBM with view pixels)
+        self.dispatch_window = 8
         self.alpha_thres_val = alpha_thres_val
         self.fast_vis = fast_vis
         self.fast_vis_factor = fast_vis_factor
@@ -115,16 +120,11 @@ class GeoExtractor:
         # gen_geo.py:231-238); a reduced sampler like "32+16r2" is a
         # validated ~2.5x lever (scripts/validate_fastvis.py gates it).
         if vis_sampler:
-            import re as _re
             from dataclasses import replace as _replace
-            m = _re.fullmatch(r"(\d+)\+(\d+)r(\d+)", vis_sampler)
-            if not m:
-                raise ValueError(
-                    f"vis_sampler must look like '32+16r2', got "
-                    f"{vis_sampler!r}")
-            vis_cfg = _replace(cfg, n_samples=int(m.group(1)),
-                               n_importance=int(m.group(2)),
-                               up_sample_steps=int(m.group(3)))
+
+            from ..config import parse_sampler_spec
+            vis_cfg = _replace(cfg, **parse_sampler_spec(
+                vis_sampler, what="vis_sampler"))
         else:
             vis_cfg = cfg
         self.vis_cfg = vis_cfg
@@ -479,9 +479,20 @@ class GeoExtractor:
         n_fg = surf_fg.shape[0]
         lvis_hit = np.zeros((n_fg, self.n_lights), np.float32)
         bs = self.vis_point_batch
-        # dispatch every batch, then pull: transfers overlap the
-        # still-running device renders
-        device_lv = []
+        # dispatch ahead within a bounded window, pulling the oldest as
+        # new batches enqueue: transfers overlap the still-running
+        # device renders, but at most dispatch_window [bs, L] f32
+        # outputs are resident at once (dispatch-ALL-then-pull grows
+        # peak HBM by n_fg*L*4 bytes per view — multi-GB at 1024px)
+        from collections import deque
+        inflight = deque()
+
+        def _pull():
+            i, lv_dev = inflight.popleft()
+            lv = np.asarray(lv_dev)
+            end = min(i + bs, n_fg) - i
+            lvis_hit[i : i + end] = lv[:end]
+
         for i in range(0, n_fg, bs):
             s = surf_fg[i : i + bs]
             nn = normal_fg[i : i + bs]
@@ -489,13 +500,12 @@ class GeoExtractor:
             if pad:
                 s = np.pad(s, ((0, pad), (0, 0)), constant_values=0.5)
                 nn = np.pad(nn, ((0, pad), (0, 0)), constant_values=1.0)
-            device_lv.append(self._vis_batch(
-                self.params, jnp.asarray(s), jnp.asarray(nn)))
-        for j, lv_dev in enumerate(device_lv):
-            i = j * bs
-            lv = np.asarray(lv_dev)
-            end = min(i + bs, n_fg) - i
-            lvis_hit[i : i + end] = lv[:end]
+            inflight.append((i, self._vis_batch(
+                self.params, jnp.asarray(s), jnp.asarray(nn))))
+            if len(inflight) >= self.dispatch_window:
+                _pull()
+        while inflight:
+            _pull()
         return lvis_hit
 
     def _lvis_fast(self, surf_fg, normal_fg):
@@ -507,9 +517,22 @@ class GeoExtractor:
         L = self.n_lights
         bs = self.vis_point_batch
 
-        # pass 1: dispatch every coarse sweep, then pull the bit-packed
-        # certificate masks (3 bits/ray-light over the tunnel)
-        packed = []
+        # pass 1: dispatch the coarse sweeps within a bounded window,
+        # pulling the bit-packed certificate masks (3 bits/ray-light
+        # over the tunnel) as new sweeps enqueue
+        from collections import deque
+        front = np.zeros((n_fg, L), bool)
+        uncertain = np.zeros((n_fg, L), bool)
+        occluded = np.zeros((n_fg, L), bool)
+        inflight = deque()
+
+        def _pull_packed():
+            i, (fp, up, op) = inflight.popleft()
+            end = min(i + bs, n_fg) - i
+            front[i : i + end] = _unpack_bits(fp, L)[:end]
+            uncertain[i : i + end] = _unpack_bits(up, L)[:end]
+            occluded[i : i + end] = _unpack_bits(op, L)[:end]
+
         for i in range(0, n_fg, bs):
             s = surf_fg[i : i + bs]
             nn = normal_fg[i : i + bs]
@@ -517,17 +540,12 @@ class GeoExtractor:
             if pad:
                 s = np.pad(s, ((0, pad), (0, 0)), constant_values=0.5)
                 nn = np.pad(nn, ((0, pad), (0, 0)), constant_values=1.0)
-            packed.append(self._coarse_batch(
-                self.params, jnp.asarray(s), jnp.asarray(nn)))
-        front = np.zeros((n_fg, L), bool)
-        uncertain = np.zeros((n_fg, L), bool)
-        occluded = np.zeros((n_fg, L), bool)
-        for j, (fp, up, op) in enumerate(packed):
-            i = j * bs
-            end = min(i + bs, n_fg) - i
-            front[i : i + end] = _unpack_bits(fp, L)[:end]
-            uncertain[i : i + end] = _unpack_bits(up, L)[:end]
-            occluded[i : i + end] = _unpack_bits(op, L)[:end]
+            inflight.append((i, self._coarse_batch(
+                self.params, jnp.asarray(s), jnp.asarray(nn))))
+            if len(inflight) >= self.dispatch_window:
+                _pull_packed()
+        while inflight:
+            _pull_packed()
 
         occu = np.zeros(n_fg * L, np.float32)
         occu[occluded.ravel()] = 1.0  # provably-occluded: lvis = 0
@@ -547,7 +565,13 @@ class GeoExtractor:
 
         lxyz_np = np.asarray(self.lxyz)
         chunk = bs * self.light_tile
-        device_occ = []
+        inflight = deque()
+
+        def _pull_occ():
+            idx, oc_dev = inflight.popleft()
+            oc = np.asarray(oc_dev).reshape(-1)
+            occu[idx] = oc[: idx.shape[0]]
+
         for i in range(0, u_idx.shape[0], chunk):
             idx = u_idx[i : i + chunk]
             o = surf_fg[idx // L]
@@ -559,11 +583,12 @@ class GeoExtractor:
                 o = np.pad(o, ((0, pad), (0, 0)), constant_values=0.5)
                 d = np.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
                 d = d / np.linalg.norm(d, axis=-1, keepdims=True)
-            device_occ.append((idx, self._occ_chunk(
+            inflight.append((idx, self._occ_chunk(
                 self.params, jnp.asarray(o), jnp.asarray(d))))
-        for idx, oc_dev in device_occ:
-            oc = np.asarray(oc_dev).reshape(-1)
-            occu[idx] = oc[: idx.shape[0]]
+            if len(inflight) >= self.dispatch_window:
+                _pull_occ()
+        while inflight:
+            _pull_occ()
         return front.astype(np.float32) * (1.0 - occu.reshape(n_fg, L))
 
     # -- driver ------------------------------------------------------------

@@ -43,29 +43,44 @@ __all__ = ["train_nfr_unit", "train_vq_nfr", "train_ref_nfr",
            "save_metas", "elbow_select"]
 
 
-def _native_flat_pix(view, n_rays, rng, jitter_mode, alpha_thres):
-    """Native index selection, or None for the numpy path. The ONE
-    place that resolves VQNERF_NATIVE_SAMPLER (=0 pins numpy — the test
-    suite does, for determinism; =1 forces native; unset = auto) and
-    draws the native seed, so outer_sample and sample_view_pix provably
-    consume the rng identically (the bit-identical-batch guarantee of
-    the device-resident path rests on that)."""
+def _native_mode():
+    """The ONE place that resolves VQNERF_NATIVE_SAMPLER (=0 pins
+    numpy — the test suite does, for determinism; =1 forces native;
+    unset = auto) -> 'native' | 'numpy'. Every sampler entry point
+    (outer_sample, sample_view_pix, sample_view_pix_many) routes
+    through this so they provably consume the rng identically (the
+    bit-identical-batch guarantee of the device-resident path rests on
+    that)."""
     mode = os.environ.get("VQNERF_NATIVE_SAMPLER", "auto")
     if mode == "0":
-        return None
+        return "numpy"
     from ..data import native as _native
     if _native.native_available():
-        coords = _native.select_pairs(
-            view.alpha.reshape(view.h, view.w),
-            view.rgb.reshape(view.h, view.w, 3), n_rays,
-            jitter_mode=jitter_mode, alpha_thres=alpha_thres,
-            seed=int(rng.randint(0, 2**31 - 1)))
-        return coords[:, 0] * view.w + coords[:, 1]
+        return "native"
     if mode == "1":
         raise RuntimeError(
             "VQNERF_NATIVE_SAMPLER=1 but native/fastloader is not "
             "built (make -C native/fastloader)")
-    return None
+    return "numpy"
+
+
+def _native_select(view, n_rays, seed, jitter_mode, alpha_thres):
+    """One native select_pairs call -> [2*n_rays] flat indices."""
+    from ..data import native as _native
+    coords = _native.select_pairs(
+        view.alpha.reshape(view.h, view.w),
+        view.rgb.reshape(view.h, view.w, 3), n_rays,
+        jitter_mode=jitter_mode, alpha_thres=alpha_thres, seed=seed)
+    return coords[:, 0] * view.w + coords[:, 1]
+
+
+def _native_flat_pix(view, n_rays, rng, jitter_mode, alpha_thres):
+    """Native index selection, or None for the numpy path. Draws
+    exactly one child seed from the master rng per call."""
+    if _native_mode() == "numpy":
+        return None
+    return _native_select(view, n_rays, int(rng.randint(0, 2**31 - 1)),
+                          jitter_mode, alpha_thres)
 
 
 def sample_view_pix(view, n_rays, rng, jitter_mode="random",
@@ -107,21 +122,13 @@ def sample_view_pix_many(views, n_rays, rng, jitter_mode="random",
     decomp/nerfvq_nfr3/nerfactor/datasets/base.py:86-122). The numpy
     fallback threads the master rng through each call and stays serial.
     """
-    mode = os.environ.get("VQNERF_NATIVE_SAMPLER", "auto")
-    from ..data import native as _native
-    if mode != "0" and _native.native_available():
+    if _native_mode() == "native":
+        # one child seed per view, drawn serially = the serial stream
         seeds = [int(rng.randint(0, 2**31 - 1)) for _ in views]
-
-        def one(args):
-            view, seed = args
-            coords = _native.select_pairs(
-                view.alpha.reshape(view.h, view.w),
-                view.rgb.reshape(view.h, view.w, 3), n_rays,
-                jitter_mode=jitter_mode, alpha_thres=alpha_thres,
-                seed=seed)
-            return coords[:, 0] * view.w + coords[:, 1]
-
-        return list(_sampler_pool().map(one, zip(views, seeds)))
+        return list(_sampler_pool().map(
+            lambda args: _native_select(args[0], n_rays, args[1],
+                                        jitter_mode, alpha_thres),
+            zip(views, seeds)))
     return [sample_view_pix(v, n_rays, rng, jitter_mode=jitter_mode,
                             alpha_thres=alpha_thres) for v in views]
 

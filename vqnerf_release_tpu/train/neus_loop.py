@@ -50,16 +50,11 @@ class NeuSRunner:
         self._tail_cfg = None
         if tcfg.tail_frac > 0.0 and tcfg.tail_sampler:
             import dataclasses
-            import re
-            m = re.fullmatch(r"(\d+)\+(\d+)r(\d+)", tcfg.tail_sampler)
-            if not m:
-                raise ValueError(
-                    f"tail_sampler must look like 64+64r4, got "
-                    f"{tcfg.tail_sampler!r}")
+
+            from ..config import parse_sampler_spec
             self._tail_cfg = dataclasses.replace(
-                cfg, n_samples=int(m.group(1)),
-                n_importance=int(m.group(2)),
-                up_sample_steps=int(m.group(3)))
+                cfg, **parse_sampler_spec(tcfg.tail_sampler,
+                                          what="tail_sampler"))
 
         def _step_fns(k, cap=None, tail=False):
             ck = (k, cap, tail)

@@ -164,7 +164,8 @@ def make_neus_train_step(cfg: NeuSConfig, tcfg: NeuSTrainConfig, radius,
             bp["rays_d"][active_cap:], bp["near"][active_cap:],
             bp["far"][active_cap:], radius, key=kb,
             background_rgb=background_rgb, cos_anneal_ratio=anneal,
-            occ_grid=occ_grid, occ_floor=tcfg.occ_floor)
+            use_pallas=tcfg.use_pallas, occ_grid=occ_grid,
+            occ_floor=tcfg.occ_floor)
         n_active = jnp.sum(active.astype(jnp.float32))
         out = {
             "color_fine": jnp.concatenate(
