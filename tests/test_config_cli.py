@@ -6,6 +6,18 @@ import pytest
 from vqnerf_release_tpu import config as vcfg
 
 
+def test_parse_sampler_spec():
+    # the one grammar shared by tail_sampler / --vis-sampler /
+    # --geo-sampler / sweep+rescore cells
+    assert vcfg.parse_sampler_spec("64+64r4") == dict(
+        n_samples=64, n_importance=64, up_sample_steps=4)
+    assert vcfg.parse_sampler_spec(" 24+8r2 ") == dict(
+        n_samples=24, n_importance=8, up_sample_steps=2)
+    for bad in ("64x64r4", "64+64", "r4", "", "64+64r4x", "6 4+64r4"):
+        with pytest.raises(ValueError, match="vis_sampler"):
+            vcfg.parse_sampler_spec(bad, what="vis_sampler")
+
+
 def test_scene_families():
     assert vcfg.scene_family("lego_3072") == "nerf"
     assert vcfg.scene_family("chair0_3072") == "mat"
