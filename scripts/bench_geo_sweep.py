@@ -106,6 +106,11 @@ def main():
     if args.cells:
         from vqnerf_release_tpu.config import parse_sampler_spec
         for cell in args.cells.split(","):
+            # "ref:64+64r4" times the plain (non-occ) sampler; bare
+            # specs time the occupancy-guided one at --occ-res
+            ref = cell.startswith("ref:")
+            if ref:
+                cell = cell[len("ref:"):]
             try:
                 spec = parse_sampler_spec(cell)
             except ValueError as e:
@@ -113,9 +118,13 @@ def main():
             s, i, r = (spec["n_samples"], spec["n_importance"],
                        spec["up_sample_steps"])
             ncfg = NeuSConfig(**spec)
-            time_config(f"occ {s}+{i} r{r} b{b} res{args.occ_res}",
-                        ncfg, tcfg, b, n_iters=args.iters,
-                        occ_res=args.occ_res)
+            if ref:
+                time_config(f"ref {s}+{i} r{r} b{b}", ncfg, tcfg, b,
+                            n_iters=args.iters)
+            else:
+                time_config(f"occ {s}+{i} r{r} b{b} res{args.occ_res}",
+                            ncfg, tcfg, b, n_iters=args.iters,
+                            occ_res=args.occ_res)
         return
 
     grid = [

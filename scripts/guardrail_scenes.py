@@ -63,6 +63,30 @@ CONFIGS = [
                          "--geo-tail-frac", "0.4"]),
     ("sch 24+16t25/128", ["--geo-sampler", "24+16r2", "--occ-res", "128",
                           "--geo-tail-frac", "0.25"]),
+    # r5 (VERDICT #1): occupancy-guided DENSE tails — near-full sample
+    # count placed by the occ grid instead of the uniform parity
+    # quadrature. The r4 schedule result says carve quality + dense
+    # refinement compose; these measure whether occ placement lets a
+    # 48-96-sample tail match the 64+64r4 parity tail at ~2-3x its
+    # step rate (tail throughput rows: bench_geo_sweep --cells).
+    ("sch 24+8t25d64+32/128",
+     ["--geo-sampler", "24+8r2", "--occ-res", "128",
+      "--geo-tail-frac", "0.25", "--geo-tail-sampler", "64+32r2",
+      "--geo-tail-occ"]),
+    ("sch 24+8t25d48+32/128",
+     ["--geo-sampler", "24+8r2", "--occ-res", "128",
+      "--geo-tail-frac", "0.25", "--geo-tail-sampler", "48+32r2",
+      "--geo-tail-occ"]),
+    ("sch 24+8t25d64+16/128",
+     ["--geo-sampler", "24+8r2", "--occ-res", "128",
+      "--geo-tail-frac", "0.25", "--geo-tail-sampler", "64+16r2",
+      "--geo-tail-occ"]),
+    # tail_frac ladder at the best dense tail (if t25 passes, shorter
+    # tails raise the weighted throughput further)
+    ("sch 24+8t15d64+32/128",
+     ["--geo-sampler", "24+8r2", "--occ-res", "128",
+      "--geo-tail-frac", "0.15", "--geo-tail-sampler", "64+32r2",
+      "--geo-tail-occ"]),
 ]
 
 

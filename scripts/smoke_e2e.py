@@ -179,6 +179,10 @@ def main():
                     "main phase; 0 = single-phase")
     ap.add_argument("--geo-tail-sampler", default="64+64r4",
                     help="tail-phase sampler spec for --geo-tail-frac")
+    ap.add_argument("--geo-tail-occ", action="store_true",
+                    help="keep occupancy guidance ON in the tail phase "
+                    "(dense occ-placed tail, e.g. "
+                    "--geo-tail-sampler 64+32r2)")
     ap.add_argument("--save-ckpt", action="store_true",
                     help="save the final stage-1 checkpoint (guardrail "
                     "cells can then be re-rendered under any sampler "
@@ -235,6 +239,7 @@ def main():
                            tail_frac=args.geo_tail_frac,
                            tail_sampler=(args.geo_tail_sampler
                                          if args.geo_tail_frac else ""),
+                           tail_occ=args.geo_tail_occ,
                            steps_per_dispatch=8)
     runner = NeuSRunner(cfg1, tcfg, ds, join(root, "exp"),
                         seed=args.seed)

@@ -162,6 +162,42 @@ def test_sampler_schedule_tail_phase(tmp_path):
     assert any(f.endswith("_parity.png") for f in files)
 
 
+def test_sampler_schedule_tail_occ(tmp_path):
+    """tail_occ=True keeps occupancy guidance in the tail phase: the
+    grid continues rebuilding past the boundary and the tail step fn is
+    compiled with the occ-grid argument (dense occ-placed tail, r5)."""
+    import os
+
+    import numpy as np
+
+    from tests.test_gen_geo import _make_stage1_scene
+    from vqnerf_release_tpu.data.neus_dataset import NerfSceneDataset
+    from vqnerf_release_tpu.models.neus import NeuSConfig
+    from vqnerf_release_tpu.train.neus_loop import NeuSRunner
+    from vqnerf_release_tpu.train.neus_trainer import NeuSTrainConfig
+
+    root = str(tmp_path / "scene")
+    os.makedirs(root)
+    _make_stage1_scene(root, n_train=2, n_val=1)
+    ds = NerfSceneDataset(root, is_train=True, near=0.5, far=3.5)
+    cfg = NeuSConfig(n_samples=8, n_importance=8, up_sample_steps=2)
+    tcfg = NeuSTrainConfig(batch_size=8, end_iter=10, warm_up_end=2,
+                           save_freq=10**9, val_freq=10**9,
+                           occ_res=8, occ_update_freq=2,
+                           steps_per_dispatch=4,
+                           tail_frac=0.4, tail_sampler="12+4r1",
+                           tail_occ=True)
+    runner = NeuSRunner(cfg, tcfg, ds, str(tmp_path / "exp"))
+    hist = runner.train(log_every=1)
+    assert runner.iter_step == 10
+    assert hist and all(np.isfinite(h["loss"]) for h in hist)
+    tails = {tail for (_, _, tail) in runner._fn_cache}
+    assert tails == {False, True}
+    # the grid KEPT rebuilding inside the tail (boundary at step 6,
+    # occ_update_freq=2 -> a rebuild at >= 6)
+    assert runner._occ_built_at >= 6
+
+
 def test_multi_step_equals_single_steps():
     """With a FIXED batch and per-step keys folded the same way, K
     scanned steps produce the same params as K eager steps."""

@@ -46,7 +46,8 @@ class NeuSRunner:
         self._fn_cache = {}
 
         # two-phase sampler schedule (NeuSTrainConfig.tail_frac): the
-        # tail trains under tail_sampler with occ guidance off
+        # tail trains under tail_sampler, with occ guidance off unless
+        # tcfg.tail_occ keeps it on (dense occupancy-placed tail)
         self._tail_cfg = None
         if tcfg.tail_frac > 0.0 and tcfg.tail_sampler:
             import dataclasses
@@ -61,7 +62,7 @@ class NeuSRunner:
             if ck not in self._fn_cache:
                 from .neus_trainer import make_neus_multi_step
                 c = self._tail_cfg if tail else cfg
-                occ = self._with_occ and not tail
+                occ = self._with_occ and (not tail or tcfg.tail_occ)
                 if k == 1:
                     fn = make_neus_train_step(
                         c, tcfg, self.radius, with_occ=occ,
@@ -214,7 +215,8 @@ class NeuSRunner:
             # one-off shorter scan)
             phase_end = end if in_tail else min(end, tail_start)
             k = k_cfg if phase_end - self.iter_step >= k_cfg else 1
-            use_occ = self._with_occ and not in_tail
+            use_occ = self._with_occ and (
+                not in_tail or self.tcfg.tail_occ)
             if use_occ and (
                     self._occ_grid is None or self.iter_step
                     - self._occ_built_at >= self.tcfg.occ_update_freq):

@@ -74,7 +74,8 @@ class NeuSTrainConfig:
     empty_n_samples: int = 8
     # Two-phase sampler schedule: after (1 - tail_frac) * end_iter
     # steps, training switches to tail_sampler (a "64+64r4"-style spec;
-    # occupancy guidance and adaptive tiers turn OFF for the tail).
+    # occupancy guidance turns OFF for the tail unless tail_occ below,
+    # and adaptive tiers always turn off).
     # Rationale: the occ-guided cheap sampler converges fastest per
     # step early, but at production budgets the reference's fine
     # uniform quadrature refines thin geometry better late — and
@@ -84,6 +85,14 @@ class NeuSTrainConfig:
     # renderer.py:311-355 spends the same budget on every ray forever).
     tail_frac: float = 0.0
     tail_sampler: str = ""
+    # Keep occupancy guidance ON during the tail phase (r5): lets the
+    # tail run a DENSE occupancy-placed sampler (e.g. 64+32r2) instead
+    # of the reference-exact uniform 64+64r4 — the quadrature is still
+    # near-full-count but the initial samples concentrate inside the
+    # occupied band, so the tail step costs ~2x less than parity at
+    # (measured) equal production-budget quality. False = r4 semantics
+    # (tail is reference-exact, occ off).
+    tail_occ: bool = False
     # skip (zero-update) any step whose gradients are non-finite instead
     # of letting one poisoned batch corrupt every parameter through adam
     # (production hardening; the divergence guard in the loop remains
