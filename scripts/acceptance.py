@@ -84,17 +84,68 @@ def _m(x):
     return float(np.mean(x)) if x else None
 
 
+def discover(root, scene, family):
+    """Zero-decision discovery of acceptance inputs from a conventional
+    root (VERDICT r4 #7; layout documented in MIGRATION.md
+    "Acceptance data layout"):
+
+        <root>/data/<scene>/            stage-2 data  -> --data-root
+        <root>/data/test_envs/          (or <root>/test_envs) envmaps
+        <root>/gt/<scene>/              GT tree       -> --gt-root
+                                        (falls back to <root>/data)
+        <root>/surf/<family>_surf/<scene>/  stage-1 buffers -> --surf-root
+        <root>/ref_train/<scene>_vq_nfr/    reference TF ckpts -> --ref-ckpt
+        <root>/ref_scores.json          (or ref_scores_<scene>.json)
+        <root>/labels/<scene>/          segmentation GT -> --label-root
+
+    Returns {flag_name: value} for everything found; explicit CLI flags
+    always win over discovered values."""
+    j, found = os.path.join, {}
+    if os.path.isdir(j(root, "data", scene)):
+        found["data_root"] = j(root, "data", scene)
+    for cand in (j(root, "data", "test_envs"), j(root, "test_envs")):
+        if os.path.isdir(cand):
+            found["test_envmap_dir"] = cand
+            break
+    if os.path.isdir(j(root, "gt", scene)):
+        found["gt_root"] = j(root, "gt")
+    elif "data_root" in found:
+        found["gt_root"] = j(root, "data")
+    surf = j(root, "surf", f"{family}_surf", scene)
+    if os.path.isdir(surf):
+        found["surf_root"] = j(root, "surf")
+    if os.path.isdir(j(root, "ref_train", f"{scene}_vq_nfr")):
+        found["ref_ckpt"] = j(root, "ref_train")
+    for cand in (j(root, f"ref_scores_{scene}.json"),
+                 j(root, "ref_scores.json")):
+        if os.path.isfile(cand):
+            found["ref_scores"] = cand
+            break
+    if os.path.isdir(j(root, "labels", scene)):
+        found["label_root"] = j(root, "labels")
+    return found
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(
         description="parity acceptance run (import -> test -> eval -> "
                     "compare)")
     ap.add_argument("scene")
-    ap.add_argument("--data-root", required=True)
-    ap.add_argument("--output-root", required=True)
-    ap.add_argument("--gt-root", required=True,
+    ap.add_argument("--auto", nargs="?", const="", default=None,
+                    metavar="ROOT",
+                    help="discover inputs from a conventional root "
+                         "(ROOT, or $VQNERF_ACCEPTANCE_ROOT when given "
+                         "bare) — see MIGRATION.md 'Acceptance data "
+                         "layout'; explicit flags win over discovery")
+    ap.add_argument("--data-root", default=None)
+    ap.add_argument("--output-root", default=None)
+    ap.add_argument("--gt-root", default=None,
                     help="GT tree: <scene>/val_NNN/rgba.png (+ albedo/"
                          "metal/rough for CG, relit GT for relight)")
-    ap.add_argument("--test-envmap-dir", required=True)
+    ap.add_argument("--test-envmap-dir", default=None)
+    ap.add_argument("--surf-root", default=None,
+                    help="stage-1 buffer root (default "
+                         "<output-root>/surf; --auto may discover it)")
     ap.add_argument("--ref-ckpt", default=None,
                     help="reference train dir holding <scene>_vq_nfr/ "
                          "and <scene>_ref_nfr/ TF checkpoints")
@@ -116,6 +167,31 @@ def main(argv=None):
     from vqnerf_release_tpu.cli import main as cli
 
     family = vcfg.scene_family(args.scene)
+
+    if args.auto is not None:
+        root = args.auto or os.environ.get("VQNERF_ACCEPTANCE_ROOT", "")
+        if not root:
+            raise SystemExit("--auto needs a ROOT argument or "
+                             "$VQNERF_ACCEPTANCE_ROOT")
+        if not os.path.isdir(root):
+            raise SystemExit(f"--auto root does not exist: {root}")
+        found = discover(root, args.scene, family)
+        print(f"[auto] {root}: discovered "
+              + (", ".join(f"{k}={v}" for k, v in sorted(found.items()))
+                 or "nothing"), flush=True)
+        for k, v in found.items():
+            if getattr(args, k, None) in (None, ""):
+                setattr(args, k, v)
+        if args.output_root is None:
+            args.output_root = join(root, "output_tpu")
+            os.makedirs(args.output_root, exist_ok=True)
+    missing = [f"--{k.replace('_', '-')}" for k in
+               ("data_root", "output_root", "gt_root", "test_envmap_dir")
+               if getattr(args, k) in (None, "")]
+    if missing:
+        raise SystemExit("missing required inputs (give them explicitly "
+                         f"or via --auto): {', '.join(missing)}")
+
     report = {"scene": args.scene, "family": family, "steps": []}
 
     if args.ref_ckpt:
@@ -128,6 +204,9 @@ def main(argv=None):
         cmd = ["test", args.scene, "--data-root", args.data_root,
                "--output-root", args.output_root,
                "--test-envmap-dir", args.test_envmap_dir]
+        if args.surf_root:
+            cmd += ["--surf-root", vcfg.surf_dir(
+                args.surf_root, args.scene)]
         if args.preset_override:
             cmd += ["--preset-override", args.preset_override]
         print("[test]", " ".join(cmd), flush=True)

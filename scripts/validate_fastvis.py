@@ -39,6 +39,11 @@ def main():
                     help="smoke scene geometry (sphere/torus/plate/"
                          "blobs); concave/multi-body shapes exercise "
                          "the occluded certificate, a sphere cannot")
+    ap.add_argument("--refine", type=int, default=64,
+                    help="second-stage certification sample count "
+                         "(fast_vis_refine); validates refine=0 vs "
+                         "refine=N agreement and wall. 0 skips the "
+                         "refined variant")
     args = ap.parse_args()
     if args.shape != "sphere" and args.root == "/tmp/vqnerf_fastvis":
         args.root = "/tmp/vqnerf_fastvis_" + args.shape
@@ -78,6 +83,7 @@ def main():
                       use_white_bkgd=True, batch_size=4096,
                       light_h=args.light_h, vis_point_batch=64,
                       fast_vis=True, fast_vis_factor=args.factor,
+                      fast_vis_refine=0,
                       vis_sampler="64+64r4")
     view_dir = join(args.root, "surf", "train_000")
     os.makedirs(view_dir, exist_ok=True)
@@ -139,6 +145,36 @@ def main():
               f"(full-path vis on them: min {v.min():.4f}, "
               f"frac < 0.99: {(v < 0.99).mean():.6f})")
 
+    if args.refine:
+        # second-stage certification (fast_vis_refine, r5): the finer
+        # sweep must keep exactness (certified rays fully visible under
+        # the full path) while cutting the uncertain fraction and wall
+        ex_r = GeoExtractor(runner.params, cfg, ds,
+                            join(args.root, "surf_r"),
+                            use_white_bkgd=True, batch_size=4096,
+                            light_h=args.light_h, vis_point_batch=64,
+                            fast_vis=True, fast_vis_factor=args.factor,
+                            fast_vis_refine=args.refine,
+                            vis_sampler="64+64r4")
+        _ = ex_r._lvis_fast(surf_fg[:64], normal_fg[:64])  # warm
+        t0 = time.time()
+        lv_ref = ex_r._lvis_fast(surf_fg, normal_fg)
+        t_ref = time.time() - t0
+        st = ex_r.last_fast_vis_stats
+        dr = np.abs(lv_full - lv_ref)
+        print(f"fast+refine{args.refine}: coarse-uncertain "
+              f"{st['coarse_uncertain_rays']}, refine-certified "
+              f"{st['refine_certified_rays']} "
+              f"({st['refine_certified_rays']/max(st['coarse_uncertain_rays'],1):.3f}"
+              f" of them), still-uncertain {st['uncertain_rays']} "
+              f"-> certified_frac {st['certified_frac']:.3f}")
+        print(f"fast+refine vs parity: max |dlvis| {dr.max():.4f}, "
+              f"mean {dr.mean():.6f}, "
+              f"frac > 0.01: {(dr > 0.01).mean():.5f}, "
+              f"frac > 0.05: {(dr > 0.05).mean():.6f}; "
+              f"wall {t_ref:.1f}s -> {t_full / t_ref:.2f}x "
+              f"(fast-only was {t_full / t_fast:.2f}x)")
+
     if args.occluded:
         # occluded-certificate validation: fast-vis with BOTH
         # certificates (free + provably-occluded interior chords) vs
@@ -149,7 +185,7 @@ def main():
                            use_white_bkgd=True, batch_size=4096,
                            light_h=args.light_h, vis_point_batch=64,
                            fast_vis=True, fast_vis_factor=args.factor,
-                           fast_vis_occluded=True,
+                           fast_vis_occluded=True, fast_vis_refine=0,
                            vis_sampler="64+64r4")
         _ = ex3._lvis_fast(surf_fg[:64], normal_fg[:64])  # warm
         t0 = time.time()
@@ -184,7 +220,7 @@ def main():
                                light_h=args.light_h, vis_point_batch=64,
                                vis_sampler=args.vis_sampler,
                                occ_vis=occ_vis, span_vis=span_vis,
-                               fast_vis=fast,
+                               fast_vis=fast, fast_vis_refine=0,
                                fast_vis_factor=args.factor)
             fn = ex2._lvis_fast if fast else ex2._lvis_full
             _ = fn(surf_fg[:64], normal_fg[:64])  # warm

@@ -92,6 +92,63 @@ def test_acceptance_eval_and_report(smoke_artifacts, capsys):
     assert "lpips_impl" in report
 
 
+def test_acceptance_auto_discovery(smoke_artifacts, tmp_path):
+    """--auto (VERDICT r4 #7): inputs discovered from the conventional
+    root layout; explicit flags win; missing pieces still error."""
+    out_root, gt_root, env_dir = smoke_artifacts
+    acc = _acceptance()
+
+    root = str(tmp_path / "conv_root")
+    j = os.path.join
+    os.makedirs(j(root, "data", SCENE))
+    os.makedirs(j(root, "data", "test_envs"))
+    os.makedirs(j(root, "gt", SCENE))
+    os.makedirs(j(root, "surf", "nerf_surf", SCENE))
+    os.makedirs(j(root, "ref_train", f"{SCENE}_vq_nfr"))
+    os.makedirs(j(root, "labels", SCENE))
+    json.dump({}, open(j(root, "ref_scores.json"), "w"))
+
+    found = acc.discover(root, SCENE, "nerf")
+    assert found == {
+        "data_root": j(root, "data", SCENE),
+        "test_envmap_dir": j(root, "data", "test_envs"),
+        "gt_root": j(root, "gt"),
+        "surf_root": j(root, "surf"),
+        "ref_ckpt": j(root, "ref_train"),
+        "ref_scores": j(root, "ref_scores.json"),
+        "label_root": j(root, "labels"),
+    }
+    # per-scene scores file wins over the generic one
+    json.dump({}, open(j(root, f"ref_scores_{SCENE}.json"), "w"))
+    assert acc.discover(root, SCENE, "nerf")["ref_scores"] == \
+        j(root, f"ref_scores_{SCENE}.json")
+    # gt/ absent -> falls back to data/
+    os.rename(j(root, "gt"), j(root, "gt_hidden"))
+    assert acc.discover(root, SCENE, "nerf")["gt_root"] == j(root, "data")
+    os.rename(j(root, "gt_hidden"), j(root, "gt"))
+
+    # dry-run the --auto path end-to-end on the smoke artifacts with a
+    # minimal root (data + envs only — no ref ckpts/labels, so no
+    # import/cluster steps fire): discovery fills data-root/envs;
+    # explicit flags (gt-root, output-root) override/supplement
+    root2 = str(tmp_path / "conv_root2")
+    os.makedirs(j(root2, "data", SCENE))
+    os.makedirs(j(root2, "data", "test_envs"))
+    acc.main([SCENE, "--auto", root2,
+              "--output-root", out_root, "--gt-root", gt_root,
+              "--skip-test"])
+    report = json.load(open(join(out_root, f"acceptance_{SCENE}.json")))
+    assert report["steps"] == ["metric-eval"]
+
+    # a bare --auto without the env var errors out
+    os.environ.pop("VQNERF_ACCEPTANCE_ROOT", None)
+    with pytest.raises(SystemExit):
+        acc.main([SCENE, "--auto", "--skip-test"])
+    # missing inputs (no --auto, no flags) error out with the hint
+    with pytest.raises(SystemExit):
+        acc.main([SCENE, "--skip-test"])
+
+
 def test_acceptance_compare_pass_and_fail(smoke_artifacts, tmp_path):
     out_root, gt_root, env_dir = smoke_artifacts
     acc = _acceptance()

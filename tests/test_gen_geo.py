@@ -288,6 +288,54 @@ def test_fast_vis_matches_full(tmp_path):
     np.testing.assert_allclose(full[certified], 1.0, atol=0.05)
 
 
+def test_fast_vis_refine_certifies_more(tmp_path):
+    """Second-stage certification (fast_vis_refine, r5): the finer
+    sweep on coarse-uncertain rays must (a) agree with the full render,
+    (b) only certify rays the full path sees as fully visible, and
+    (c) report its work in last_fast_vis_stats."""
+    root = str(tmp_path)
+    _make_stage1_scene(root)
+    ds = NerfSceneDataset(root, is_train=True, near=0.5, far=3.5)
+    cfg = NeuSConfig(n_samples=8, n_importance=8, up_sample_steps=2,
+                     perturb=0.0)
+    params = init_neus(0, cfg)
+
+    mk = lambda refine: GeoExtractor(
+        params, cfg, ds, os.path.join(root, "surf"), light_h=LIGHT_H,
+        vis_point_batch=8, fast_vis=True, fast_vis_factor=2.0,
+        fast_vis_refine=refine)
+    ex_full = GeoExtractor(
+        params, cfg, ds, os.path.join(root, "surf"), light_h=LIGHT_H,
+        vis_point_batch=8, fast_vis=False)
+    ex0, exr = mk(0), mk(64)
+
+    rs = np.random.RandomState(0)
+    n = 12
+    p = rs.randn(n, 3).astype(np.float32)
+    p /= np.linalg.norm(p, axis=1, keepdims=True)
+    surf = 0.55 * p
+    normal = p.copy()
+
+    full = ex_full._lvis_full(surf, normal)
+    fast0 = ex0._lvis_fast(surf, normal)
+    st0 = ex0.last_fast_vis_stats
+    fastr = exr._lvis_fast(surf, normal)
+    str_ = exr.last_fast_vis_stats
+    np.testing.assert_allclose(fastr, full, atol=0.05)
+    np.testing.assert_allclose(fastr, fast0, atol=0.05)
+    # refine only ever shrinks the uncertain set, and the stats add up
+    assert str_["coarse_uncertain_rays"] == st0["uncertain_rays"]
+    assert str_["uncertain_rays"] == (
+        str_["coarse_uncertain_rays"] - str_["refine_certified_rays"])
+    assert str_["certified_frac"] >= st0["certified_frac"]
+    # refine=0 reports zero refine work
+    assert st0["refine_certified_rays"] == 0
+    # every refine-certified ray is fully visible under the full render
+    if str_["refine_certified_rays"]:
+        d = np.abs(fastr - full)
+        assert d.max() <= 0.05
+
+
 def test_fast_vis_occluded_certificate(tmp_path):
     """--fast-vis-occluded: a provably-interior chord (two consecutive
     coarse samples <= -max(margin, 10/s)) certifies lvis=0 without the

@@ -173,6 +173,8 @@ def cmd_gen_geo(args):
                           fast_vis_factor=args.fast_vis_factor,
                           fast_vis_occluded=getattr(
                               args, "fast_vis_occluded", False),
+                          fast_vis_refine=getattr(
+                              args, "fast_vis_refine", 64),
                           use_pallas=getattr(args, "pallas", False),
                           mesh=mesh,
                           vis_sampler=getattr(args, "vis_sampler", None),
@@ -672,6 +674,11 @@ def main(argv=None):
                         "forces transmittance < 5e-5): lvis=0 without "
                         "the fine render; validate with "
                         "scripts/validate_fastvis.py --occluded")
+    p.add_argument("--fast-vis-refine", type=int, default=64,
+                   help="second-stage certification: sample count of "
+                        "the finer sweep run on rays the coarse pass "
+                        "leaves uncertain (same exact-by-construction "
+                        "margin rule at 1/4 the spacing); 0 disables")
     p.add_argument("--devices", default=None,
                    help="'all' or a device count: shard the ray axis of "
                         "each view's render over a device mesh (replaces "
