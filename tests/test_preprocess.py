@@ -178,6 +178,44 @@ def test_html_writer(tmp_path):
     assert "val_000" in html
 
 
+def test_vali_index_embeds_log_and_elbow(tmp_path):
+    """write_vali_index (r5, VERDICT r4 #8): the vis_vali/index.html
+    rollup embeds train_log.jsonl scalars, per-epoch PSNR, the vq_num
+    elbow thumbnail, and links to per-epoch pages that inline loss.json
+    and the vq_nfr per-threshold batch dirs."""
+    import cv2
+    from vqnerf_release_tpu.utils.html import write_vali_index
+    outdir = str(tmp_path / "run")
+    e1 = join(outdir, "vis_vali", "epoch%09d" % 30)
+    # vq-style layout: per-threshold subdir + elbow + loss jsons
+    d = join(e1, "main_5", "batch%09d" % 0)
+    os.makedirs(d)
+    cv2.imwrite(join(d, "pred_rgb.png"), np.zeros((8, 8, 3), np.uint8))
+    json.dump({"id": "val_000", "psnr": 31.5},
+              open(join(d, "metadata.json"), "w"))
+    cv2.imwrite(join(e1, "vq_num.png"), np.zeros((8, 8, 3), np.uint8))
+    json.dump({"rgb": 0.01, "vq": 0.002},
+              open(join(e1, "loss.json"), "w"))
+    with open(join(outdir, "train_log.jsonl"), "w") as f:
+        f.write(json.dumps({"epoch": 30, "loss": 0.0123,
+                            "wall_s": 4.2, "skipped_steps": 0}) + "\n")
+
+    index = write_vali_index(outdir)
+    assert index == join(outdir, "vis_vali", "index.html")
+    html = open(index).read()
+    assert "loss=0.0123" in html and "skipped_steps=0" in html
+    assert "31.50 dB" in html
+    assert "vq_num.png" in html  # elbow thumbnail
+    epoch_page = join(e1, "index.html")
+    assert os.path.exists(epoch_page)
+    ehtml = open(epoch_page).read()
+    assert "main_5" in ehtml and "loss.json" in ehtml
+    assert "pred_rgb.png" in ehtml
+
+    # empty tree -> no page, no crash
+    assert write_vali_index(str(tmp_path / "none")) is None
+
+
 def test_edit_client_protocol(tmp_path):
     from vqnerf_release_tpu.pipelines.edit_client import (MATERIAL_DB,
                                                           auto_select_mask,

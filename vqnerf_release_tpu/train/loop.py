@@ -806,6 +806,10 @@ def _nfr_vali(params, cfg, lxyz, lareas, vali_views, epoch_dir, outdir):
         vis_view(vis, (view.h, view.w),
                  join(epoch_dir, "batch%09d" % b_i), view.id,
                  white_bg=cfg.white_bg, mode="vali")
+    # refresh the browsable validation index (reference webpages,
+    # ref_nfr.py:821-874; embeds train_log.jsonl + elbow history)
+    from ..utils.html import write_vali_index
+    write_vali_index(outdir, white_bg=cfg.white_bg)
 
 
 def train_vq_nfr(cfg: dc.DecompConfig, nfr_params, train_views, vali_views,
@@ -1032,6 +1036,9 @@ def _vq_vali(params, cfg, lxyz, lareas, vali_views, vq_eval,
             vis_view(vis, (view.h, view.w),
                      join(epoch_dir, sub, "batch%09d" % b_i), view.id,
                      white_bg=cfg.white_bg, mode="vali")
+    from ..utils.html import write_vali_index
+    write_vali_index(os.path.dirname(os.path.dirname(epoch_dir)),
+                     white_bg=cfg.white_bg)
     return main_vq
 
 
@@ -1103,6 +1110,8 @@ def train_ref_nfr(cfg: dc.DecompConfig, vq_params, light, train_views,
                 vis_view(vis, (view.h, view.w),
                          join(epoch_dir, "batch%09d" % b_i), view.id,
                          white_bg=cfg.white_bg, mode="vali")
+            from ..utils.html import write_vali_index
+            write_vali_index(outdir, white_bg=cfg.white_bg)
 
     if run_epoch is not None:
         if sample_fn is not None:
