@@ -87,6 +87,16 @@ CONFIGS = [
      ["--geo-sampler", "24+8r2", "--occ-res", "128",
       "--geo-tail-frac", "0.15", "--geo-tail-sampler", "64+32r2",
       "--geo-tail-occ"]),
+    # r5 (VERDICT #3): auto carve-tier — interior-fraction probe
+    # switches fat scenes (sphere) to the 24+16 carve; thin scenes
+    # train bit-identically to the fixed 24+8 cell
+    ("sch autoT25/128",
+     ["--geo-sampler", "24+8r2", "--occ-res", "128",
+      "--geo-tail-frac", "0.25", "--carve-auto"]),
+    ("sch autoT25d64+32/128",
+     ["--geo-sampler", "24+8r2", "--occ-res", "128",
+      "--geo-tail-frac", "0.25", "--geo-tail-sampler", "64+32r2",
+      "--geo-tail-occ", "--carve-auto"]),
 ]
 
 

@@ -183,6 +183,10 @@ def main():
                     help="keep occupancy guidance ON in the tail phase "
                     "(dense occ-placed tail, e.g. "
                     "--geo-tail-sampler 64+32r2)")
+    ap.add_argument("--carve-auto", action="store_true",
+                    help="auto carve-tier: switch the carve sampler to "
+                    "24+16r2 when the scene's deep-interior fraction "
+                    "clears 0.30 at the first occ rebuild past warmup")
     ap.add_argument("--save-ckpt", action="store_true",
                     help="save the final stage-1 checkpoint (guardrail "
                     "cells can then be re-rendered under any sampler "
@@ -240,6 +244,7 @@ def main():
                            tail_sampler=(args.geo_tail_sampler
                                          if args.geo_tail_frac else ""),
                            tail_occ=args.geo_tail_occ,
+                           carve_auto=args.carve_auto,
                            steps_per_dispatch=8)
     runner = NeuSRunner(cfg1, tcfg, ds, join(root, "exp"),
                         seed=args.seed)

@@ -148,7 +148,7 @@ def test_sampler_schedule_tail_phase(tmp_path):
     assert hist and all(np.isfinite(h["loss"]) for h in hist)
     # tail_start = 10 - 4 = 6: one k=4 main dispatch, two single steps
     # up to the boundary, one k=4 tail dispatch — both phases compiled
-    tails = {tail for (_, _, tail) in runner._fn_cache}
+    tails = {tail for (_, _, tail, _) in runner._fn_cache}
     assert tails == {False, True}
     # occ grid rebuilds stop at the boundary (tail runs without occ)
     assert runner._occ_built_at < 6
@@ -191,11 +191,64 @@ def test_sampler_schedule_tail_occ(tmp_path):
     hist = runner.train(log_every=1)
     assert runner.iter_step == 10
     assert hist and all(np.isfinite(h["loss"]) for h in hist)
-    tails = {tail for (_, _, tail) in runner._fn_cache}
+    tails = {tail for (_, _, tail, _) in runner._fn_cache}
     assert tails == {False, True}
     # the grid KEPT rebuilding inside the tail (boundary at step 6,
     # occ_update_freq=2 -> a rebuild at >= 6)
     assert runner._occ_built_at >= 6
+
+
+def test_carve_auto_switch_and_bit_identity(tmp_path):
+    """carve_auto (r5): the interior-fraction probe fires at the first
+    occ rebuild past warm_up_end; the geometric-init SDF is a fat
+    sphere, so a low threshold switches the carve tier (alt step fns
+    compiled) while a high threshold decides no-switch and the run is
+    BIT-IDENTICAL to carve_auto=False (the probe consumes no RNG)."""
+    import jax
+    import os
+
+    from tests.test_gen_geo import _make_stage1_scene
+    from vqnerf_release_tpu.data.neus_dataset import NerfSceneDataset
+    from vqnerf_release_tpu.models.neus import NeuSConfig
+    from vqnerf_release_tpu.train.neus_loop import NeuSRunner
+    from vqnerf_release_tpu.train.neus_trainer import NeuSTrainConfig
+
+    root = str(tmp_path / "scene")
+    os.makedirs(root)
+    _make_stage1_scene(root, n_train=2, n_val=1)
+    ds = NerfSceneDataset(root, is_train=True, near=0.5, far=3.5)
+    cfg = NeuSConfig(n_samples=8, n_importance=4, up_sample_steps=1)
+    base = dict(batch_size=8, end_iter=8, warm_up_end=2,
+                save_freq=10**9, val_freq=10**9,
+                occ_res=8, occ_update_freq=2, steps_per_dispatch=2)
+
+    # low threshold: the init sphere's interior fraction clears it
+    tcfg = NeuSTrainConfig(**base, carve_auto=True,
+                           carve_alt_sampler="12+6r2",
+                           carve_auto_thresh=0.05,
+                           carve_probe_res=48)
+    r_sw = NeuSRunner(cfg, tcfg, ds, str(tmp_path / "sw"))
+    r_sw.train(log_every=1)
+    assert r_sw._carve_alt is True
+    alts = {alt for (_, _, _, alt) in r_sw._fn_cache}
+    assert alts == {False, True}
+    assert r_sw._alt_cfg.n_samples == 12
+    assert r_sw._alt_cfg.n_importance == 6
+
+    # impossible threshold: no switch, and the trajectory equals the
+    # carve_auto=False run exactly
+    tcfg_no = NeuSTrainConfig(**base, carve_auto=True,
+                              carve_auto_thresh=1.1)
+    r_no = NeuSRunner(cfg, tcfg_no, ds, str(tmp_path / "no"))
+    r_no.train(log_every=1)
+    assert r_no._carve_alt is False
+    tcfg_off = NeuSTrainConfig(**base)
+    r_off = NeuSRunner(cfg, tcfg_off, ds, str(tmp_path / "off"))
+    r_off.train(log_every=1)
+    a = jax.tree_util.tree_leaves(r_no.params)
+    b = jax.tree_util.tree_leaves(r_off.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
 def test_multi_step_equals_single_steps():

@@ -28,8 +28,8 @@ import numpy as np
 
 from .sampling import sample_pdf
 
-__all__ = ["build_occ_grid", "ray_bin_occupancy", "ray_occupied_span",
-           "sample_z_occ"]
+__all__ = ["build_occ_grid", "interior_fraction", "ray_bin_occupancy",
+           "ray_occupied_span", "sample_z_occ"]
 
 # Flat-sweep peak temp is res^3 x 256 floats; chunk into z-slabs from
 # here up (17 GB at 256^3 would not fit HBM).
@@ -68,6 +68,43 @@ def build_occ_grid(sdf_params, sdf_cfg, radius, res=64, margin_factor=3.0):
         sdf = fields.sdf_only(sdf_params, pts, sdf_cfg)  # [res^3]
     return (jnp.abs(sdf) < margin).astype(jnp.float32).reshape(
         res, res, res)
+
+
+def interior_fraction(sdf_params, sdf_cfg, radius, res=128,
+                      margin_factor=3.0):
+    """Deep-interior share of the scene's occupied volume:
+    interior / (band + interior) over the same cell grid/margin as
+    build_occ_grid, where band = |SDF| < margin (the occ band) and
+    interior = SDF <= -margin (cells provably deeper inside the surface
+    than the band half-width).
+
+    This is the auto-carve-tier statistic (r5, VERDICT r4 #3): fat
+    compact bodies carry a large deep interior (analytic sphere 0.44 at
+    res 128 / radius 1.65) that benefits from the roomier importance
+    budget of the 24+16 carve tier (+1.2 dB on the sphere production
+    cell, BASELINE.md r4), while thin/multi-body geometry has next to
+    none (torus 0.00, plate 0.03, blobs 0.15) and only pays the
+    throughput cost. Pure function of (SDF, grid geometry) — consumes
+    no RNG, so a non-switching run is bit-identical to carve_auto off."""
+    from ..models import fields
+
+    centers_1d = (np.arange(res, dtype=np.float32) + 0.5) / res * 2 - 1
+    x, y, z = np.meshgrid(centers_1d, centers_1d, centers_1d,
+                          indexing="ij")
+    pts = jnp.asarray(
+        np.stack([x, y, z], axis=-1).reshape(-1, 3) * radius)
+    cell_diag = 2.0 * radius / res * np.sqrt(3.0)
+    margin = margin_factor * cell_diag / 2.0
+    if res >= _CHUNKED_BUILD_RES:
+        slabs = pts.reshape(res, res * res, 3)
+        sdf = jax.lax.map(
+            lambda p: fields.sdf_only(sdf_params, p, sdf_cfg),
+            slabs).reshape(-1)
+    else:
+        sdf = fields.sdf_only(sdf_params, pts, sdf_cfg)
+    band = jnp.sum(jnp.abs(sdf) < margin)
+    interior = jnp.sum(sdf <= -margin)
+    return interior / jnp.maximum(band + interior, 1)
 
 
 def ray_bin_occupancy(rays_o, rays_d, near, far, grid, radius, n_bins,

@@ -57,11 +57,33 @@ class NeuSRunner:
                 cfg, **parse_sampler_spec(tcfg.tail_sampler,
                                           what="tail_sampler"))
 
+        # auto carve-tier (NeuSTrainConfig.carve_auto): None = probe
+        # pending at the first grid rebuild past warm_up_end; the probe
+        # is RNG-free so a no-switch decision leaves the run
+        # bit-identical to carve_auto=False
+        self._carve_alt = None if (tcfg.carve_auto
+                                   and self._with_occ) else False
+        self._alt_cfg = None
+        if tcfg.carve_auto and self._with_occ:
+            import dataclasses
+
+            from ..config import parse_sampler_spec
+            from ..ops.occupancy import interior_fraction
+            self._alt_cfg = dataclasses.replace(
+                cfg, **parse_sampler_spec(tcfg.carve_alt_sampler,
+                                          what="carve_alt_sampler"))
+            probe_res = tcfg.carve_probe_res or tcfg.occ_res
+            self._int_frac = jax.jit(lambda p: interior_fraction(
+                p, cfg.sdf, self.radius, res=probe_res,
+                margin_factor=tcfg.occ_margin))
+
         def _step_fns(k, cap=None, tail=False):
-            ck = (k, cap, tail)
+            alt = bool(self._carve_alt) and not tail
+            ck = (k, cap, tail, alt)
             if ck not in self._fn_cache:
                 from .neus_trainer import make_neus_multi_step
-                c = self._tail_cfg if tail else cfg
+                c = (self._tail_cfg if tail
+                     else self._alt_cfg if alt else cfg)
                 occ = self._with_occ and (not tail or tcfg.tail_occ)
                 if k == 1:
                     fn = make_neus_train_step(
@@ -222,6 +244,20 @@ class NeuSRunner:
                     - self._occ_built_at >= self.tcfg.occ_update_freq):
                 self._occ_grid = self._build_occ(self.params["sdf"])
                 self._occ_built_at = self.iter_step
+                if (self._carve_alt is None
+                        and self.iter_step >= self.tcfg.warm_up_end):
+                    frac = float(self._int_frac(self.params["sdf"]))
+                    self._carve_alt = frac >= self.tcfg.carve_auto_thresh
+                    import sys
+                    print(
+                        "[vqnerf-tpu] auto carve tier: interior "
+                        "fraction %.3f at iter %d -> %s" % (
+                            frac, self.iter_step,
+                            ("switching carve to %s"
+                             % self.tcfg.carve_alt_sampler)
+                            if self._carve_alt else
+                            "keeping the configured carve sampler"),
+                        file=sys.stderr)
                 if self._adaptive:
                     self._active_cap = self._pick_cap()
             cap = self._active_cap if not in_tail else None

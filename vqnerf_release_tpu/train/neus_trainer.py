@@ -93,6 +93,23 @@ class NeuSTrainConfig:
     # (measured) equal production-budget quality. False = r4 semantics
     # (tail is reference-exact, occ off).
     tail_occ: bool = False
+    # Auto carve-tier selection (r5, VERDICT r4 #3): at the first occ
+    # grid rebuild after warm_up_end, measure the scene's deep-interior
+    # fraction (ops/occupancy.interior_fraction — a pure function of
+    # the partially-trained SDF, no RNG) and, when it clears
+    # carve_auto_thresh, switch the carve phase to carve_alt_sampler
+    # (the roomier importance budget that bought +1.2 dB on the fat
+    # sphere production cell, BASELINE.md r4). Scenes below the
+    # threshold train BIT-IDENTICALLY to carve_auto=False. The decision
+    # is re-derived on resume at the next rebuild past warm_up_end.
+    carve_auto: bool = False
+    carve_alt_sampler: str = "24+16r2"
+    carve_auto_thresh: float = 0.30
+    # probe grid resolution; 0 = occ_res. The statistic needs cells
+    # fine enough that the band margin (3*cell_diag/2) sits well below
+    # the object scale — the production 128^3 grid qualifies, coarse
+    # test grids do not.
+    carve_probe_res: int = 0
     # skip (zero-update) any step whose gradients are non-finite instead
     # of letting one poisoned batch corrupt every parameter through adam
     # (production hardening; the divergence guard in the loop remains
