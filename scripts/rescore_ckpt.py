@@ -34,6 +34,10 @@ def main():
                     help="render sampler, e.g. 64+64r4 (the production "
                     "parity config) or 24+8r2")
     ap.add_argument("--views", default="val", choices=["val", "train"])
+    ap.add_argument("--step", type=int, default=0,
+                    help="score the checkpoint saved at this iter "
+                    "(cells trained with --geo-save-freq keep the whole "
+                    "trajectory); 0 = latest")
     ap.add_argument("--cpu", action="store_true",
                     help="render on host CPU (leave the TPU tunnel free)")
     ap.add_argument("--out-json", default=None)
@@ -60,7 +64,18 @@ def main():
                           near=1.2, far=3.5)
     tcfg = NeuSTrainConfig(use_white_bkgd=True)
     runner = NeuSRunner(cfg, tcfg, ds, join(args.root, "exp"), seed=0)
-    step = runner.try_resume()
+    if args.step:
+        from vqnerf_release_tpu.utils import ckpt as ckpt_util
+        path = join(args.root, "exp", "checkpoints",
+                    "ckpt-%d" % args.step)
+        state = ckpt_util.load_ckpt(path, {
+            "params": runner.params, "opt_state": runner.opt_state,
+            "iter_step": 0})
+        runner.params = state["params"]
+        runner.iter_step = int(state["iter_step"])
+        step = runner.iter_step
+    else:
+        step = runner.try_resume()
     if step == 0:
         raise SystemExit(f"no checkpoint under {args.root}/exp — "
                          "train the cell with --save-ckpt first")

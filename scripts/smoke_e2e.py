@@ -191,6 +191,11 @@ def main():
                     help="save the final stage-1 checkpoint (guardrail "
                     "cells can then be re-rendered under any sampler "
                     "without retraining)")
+    ap.add_argument("--geo-save-freq", type=int, default=0,
+                    help="also checkpoint stage 1 every N iters "
+                    "(scripts/rescore_ckpt.py can then score the whole "
+                    "trajectory post-hoc — used to root-cause the r4 "
+                    "ref-sampler sphere collapse); 0 = final only")
     ap.add_argument("--seed", type=int, default=0,
                     help="stage-1 training seed (cells are otherwise "
                     "deterministic — seed-varied cells are how the "
@@ -234,7 +239,8 @@ def main():
     # latency, which dominates small smoke steps
     tcfg = NeuSTrainConfig(end_iter=args.geo_iters,
                            warm_up_end=max(args.geo_iters // 10, 1),
-                           batch_size=1024, save_freq=10**9,
+                           batch_size=1024,
+                           save_freq=args.geo_save_freq or 10**9,
                            val_freq=10**9, use_white_bkgd=True,
                            occ_res=args.occ_res,
                            occ_floor=args.occ_floor,
