@@ -6,16 +6,19 @@ Metrics (all at the reference's production shapes):
      update; z_dim=256, 15 codes, 2048 rays/step = 1024 jitter pairs;
      config/vq_nfr.ini + scripts/train/vq_nerf.sh).
   2. geo_train_rays_per_sec — full NeuS training step (2560-ray batch,
-     grad-of-grad Eikonal) at the production DEFAULT sampler, which is
-     a two-phase schedule since r4 (config._GEO_FAST_SAMPLER): 75% of
-     steps occ-guided 24+8 r2 over a 128^3 grid, 25% reference-exact
-     64+64 r4 tail. Reported as the schedule-weighted effective
-     throughput 1/(0.75/carve + 0.25/parity) from the two measured
-     phases, which are also emitted:
+     grad-of-grad Eikonal) at the production DEFAULT sampler, a
+     two-phase schedule (config._GEO_FAST_SAMPLER): occ-guided 24+8 r2
+     carve over a 128^3 grid for (1-tail_frac) of steps, then whatever
+     tail config.py ships (reference-exact 64+64 r4 since r4; a dense
+     occ-guided tail if the r5 guardrail promotes one). Reported as the
+     schedule-weighted effective throughput from the measured phases,
+     which are also emitted:
      geo_train_carve_rays_per_sec — the carve-phase step alone (the
      pure-occ r3 default; quality-rejected at production budget).
      geo_train_parity_rays_per_sec — the reference-exact sampler step
      (64 uniform + 64 importance, 4 rounds; confs/nerf.conf).
+     geo_train_tail_rays_per_sec — only when the shipped tail differs
+     from the parity config (then IT enters the weighted number).
   3. lvis_shadow_rays_per_sec — occlusion-only render for light
      visibility extraction (gen_geo compute_vis, 512 lights/pixel).
   4. relight_ray_envs_per_sec — vq_fast_render of one 512^2 view's
@@ -236,20 +239,43 @@ def bench_geo_train_parity():
                       tail_frac=0.0, tail_sampler="")
 
 
-def geo_train_schedule_metric(carve, parity):
+def bench_geo_train_tail():
+    """The shipped default's TAIL phase, whatever config.py says it is.
+    Returns None when the tail is the reference-exact 64+64 r4 with occ
+    off — then the parity metric IS the tail and is reused instead of
+    timing the same step twice."""
+    from vqnerf_release_tpu.config import (_GEO_FAST_SAMPLER,
+                                           parse_sampler_spec)
+    spec = parse_sampler_spec(_GEO_FAST_SAMPLER["tail_sampler"])
+    tail_occ = bool(_GEO_FAST_SAMPLER.get("tail_occ", False))
+    if not tail_occ and spec == dict(n_samples=64, n_importance=64,
+                                     up_sample_steps=4):
+        return None
+    occ_res = _GEO_FAST_SAMPLER.get("occ_res", 128) if tail_occ else 0
+    return _bench_geo("geo_train_tail_rays_per_sec", n_iters=30,
+                      occ_res=occ_res, tail_frac=0.0, tail_sampler="",
+                      **spec)
+
+
+def geo_train_schedule_metric(carve, tail):
     """Effective default-schedule throughput from the two measured
-    phases (quality-guarded by the r4 production-budget guardrail:
+    phases (quality-guarded by the production-budget guardrail:
     matches/beats the reference sampler at equal steps within its seed
-    spread and beats it outright at equal wall; BASELINE.md r4)."""
+    spread and beats it outright at equal wall; BASELINE.md r4/r5).
+    `tail` is the shipped tail phase's metric — the parity step when the
+    default tail is reference-exact, the dense occ tail otherwise."""
     from vqnerf_release_tpu.config import _GEO_FAST_SAMPLER
     tf_ = _GEO_FAST_SAMPLER.get("tail_frac", 0.0)
-    v = 1.0 / ((1.0 - tf_) / carve["value"] + tf_ / parity["value"])
+    v = 1.0 / ((1.0 - tf_) / carve["value"] + tf_ / tail["value"])
+    tail_name = _GEO_FAST_SAMPLER.get("tail_sampler", "64+64r4")
+    if _GEO_FAST_SAMPLER.get("tail_occ", False):
+        tail_name = "occ " + tail_name
     return {"metric": "geo_train_rays_per_sec", "value": round(v, 1),
             "unit": "rays/s/chip",
             "vs_baseline": round(v / REF_GEO_RAYS_PER_SEC, 2),
-            "note": "schedule-weighted: %.0f%% carve + %.0f%% parity "
+            "note": "schedule-weighted: %.0f%% carve + %.0f%% %s "
                     "tail (the production default)"
-                    % (100 * (1 - tf_), 100 * tf_)}
+                    % (100 * (1 - tf_), 100 * tf_, tail_name)}
 
 
 def bench_lvis():
@@ -356,23 +382,27 @@ def bench_relight():
 def main():
     metrics = []
     for fn in (bench_decomp_train, bench_geo_train_carve,
-               bench_geo_train_parity, bench_lvis, bench_relight):
+               bench_geo_train_parity, bench_geo_train_tail,
+               bench_lvis, bench_relight):
         try:
-            metrics.append(fn())
+            m = fn()
+            if m is not None:  # tail bench: None = tail IS parity
+                metrics.append(m)
         except Exception as e:  # keep the line parseable on partial failure
             metrics.append({"metric": fn.__name__.replace("bench_", ""),
                             "error": f"{type(e).__name__}: {e}"})
     by_name = {m.get("metric"): m for m in metrics if "value" in m}
     carve = by_name.get("geo_train_carve_rays_per_sec")
-    parity = by_name.get("geo_train_parity_rays_per_sec")
-    if carve and parity:  # the default-schedule effective number
-        metrics.insert(1, geo_train_schedule_metric(carve, parity))
+    tail = (by_name.get("geo_train_tail_rays_per_sec")
+            or by_name.get("geo_train_parity_rays_per_sec"))
+    if carve and tail:  # the default-schedule effective number
+        metrics.insert(1, geo_train_schedule_metric(carve, tail))
     else:  # keep the headline key present on partial failure
         metrics.insert(1, {
             "metric": "geo_train_rays_per_sec",
-            "error": "phase bench missing: carve=%s parity=%s" % (
+            "error": "phase bench missing: carve=%s tail=%s" % (
                 "ok" if carve else "failed",
-                "ok" if parity else "failed")})
+                "ok" if tail else "failed")})
     head = next((m for m in metrics
                  if m.get("metric") == "decomp_train_rays_per_sec"
                  and "value" in m), None)
