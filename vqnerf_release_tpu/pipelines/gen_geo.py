@@ -603,28 +603,32 @@ class GeoExtractor:
         # pass 1.5 (r5): finer certification sweep over the uncertain
         # rays — same margin rule at fast_vis_refine samples (1/4 the
         # coarse spacing), exact by construction; whatever it certifies
-        # skips the full render below
+        # skips the full render below. The sweep is ~20x cheaper per
+        # ray than the occlusion render, so it dispatches in 8x larger
+        # chunks — at the occ chunk size a 512px view would need ~2k
+        # dispatches whose per-call tunnel latency dwarfs the compute.
         n_refined = 0
         if self.fast_vis_refine and u_idx.shape[0]:
+            rchunk = 8 * chunk
             keep = np.ones(u_idx.shape[0], bool)
             inflight = deque()
 
             def _pull_refine():
                 pos, k, (fp, dp) = inflight.popleft()
-                free = _unpack_bits(fp, chunk)[0][:k]
+                free = _unpack_bits(fp, rchunk)[0][:k]
                 if self.fast_vis_occluded:
-                    deep = _unpack_bits(dp, chunk)[0][:k]
+                    deep = _unpack_bits(dp, rchunk)[0][:k]
                     occu[u_idx[pos : pos + k][deep]] = 1.0
                     free = free | deep
                 keep[pos : pos + k] = ~free
 
-            for i in range(0, u_idx.shape[0], chunk):
-                idx = u_idx[i : i + chunk]
+            for i in range(0, u_idx.shape[0], rchunk):
+                idx = u_idx[i : i + rchunk]
                 o = surf_fg[idx // L]
                 d = lxyz_np[idx % L] - o
                 d = d / np.maximum(
                     np.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
-                pad = chunk - idx.shape[0]
+                pad = rchunk - idx.shape[0]
                 if pad:
                     o = np.pad(o, ((0, pad), (0, 0)),
                                constant_values=0.5)
