@@ -45,12 +45,14 @@ def test_geo_presets():
     cfg, tcfg, meta = vcfg.neus_configs_for_scene("lego_3072")
     assert tcfg.end_iter == 300_000 and tcfg.batch_size == 2560
     assert tcfg.use_white_bkgd and meta["near"] == 2.0
-    # r4 default sampler: two-phase schedule — occ 24+8 r2/128^3 carve,
-    # 64+64 r4 parity tail for the final 25% (BASELINE.md r4
-    # production-budget guardrail)
+    # r5 default sampler: two-phase schedule — occ 24+8 r2/128^3 carve,
+    # dense occ-placed 64+32 r2 tail for the final 25% (BASELINE.md r5
+    # production-budget guardrail: beats the parity-tail schedule on
+    # every scene and the ref sampler's best seed on plate/torus)
     assert cfg.n_samples == 24 and cfg.n_importance == 8
     assert tcfg.occ_res == 128
-    assert tcfg.tail_frac == 0.25 and tcfg.tail_sampler == "64+64r4"
+    assert tcfg.tail_frac == 0.25 and tcfg.tail_sampler == "64+32r2"
+    assert tcfg.tail_occ is True
     cfg, tcfg, meta = vcfg.neus_configs_for_scene("dtu_scan24")
     assert tcfg.end_iter == 100_000 and tcfg.lr_end_iter == 300_000
     assert tcfg.batch_size == 512 and meta["new_h"] == 512

@@ -100,41 +100,42 @@ _FAMILY_GEO = {
 
 # Default stage-1 TRAINING sampler for every family: a TWO-PHASE
 # schedule — occupancy-guided 24+8 samples / 2 up-sample rounds over a
-# 128^3 grid for the first 75% of end_iter (81.2k rays/s), then the
-# reference-exact 64+64 r4 quadrature with occ guidance off for the
-# final 25% (20.2k rays/s). Schedule-weighted effective throughput
-# 1/(0.75/81.2k + 0.25/20.2k) = 46.3k rays/s = 5.1x the estimated
-# reference-GPU step rate, 2.3x the pure parity sampler.
-# Why the schedule (r4 production-budget guardrail, 40k iters / 256 px,
-# scored with the production parity render — BASELINE.md r4):
-#  - Pure occ tiers that win every 4k-iter smoke cell REGRESS 0.8-2.0
-#    dB below the reference sampler at the production budget (dense
-#    quadrature out-refines reduced sampling late in training), which
-#    is why the r3 pure-occ default was retired.
-#  - The schedule matches or beats the ref bar at EQUAL STEPS within
-#    the ref bar's own seed spread: over all seeded cells the schedule
-#    mean is 32.34 dB vs ref 31.07, wins outright on torus (+1.78) and
-#    blobs (+1.22), sits inside the ref's seed spread on plate
-#    (sch 34.42/33.78 vs ref 35.43/33.23), and is far more STABLE —
-#    the ref sampler's worst seeded cell collapses to 22.79 on sphere
-#    while the schedule's worst is 30.34.
-#  - At equal WALL it beats the ref bar outright: sch t25 at 120k
-#    iters scores 35.87 on the plate in 43 min vs the ref cell's
-#    35.43 at 40k iters in 73 min.
-# The 128^3 grid is what makes 24 initial samples safe on thin
-# geometry during the carve phase (at 64^3 the plate is ~1.3 cells
-# thick, 2.6 at 128^3); grid rebuild is 80 ms every
-# occ_update_freq=250 steps (<1%/step). Dispatches never straddle the
-# phase boundary and resume re-derives the phase (train/neus_loop.py).
-# Reference-exact sampling for the WHOLE run remains one override
-# away:  --geo-override n_samples=64,n_importance=64,up_sample_steps=4,
-# occ_res=0,tail_frac=0  (geo/NeuS-ours2/confs/nerf.conf:83-86
-# semantics); tail_frac=0 keeps the pure occ 24+8 carve (the r3
-# default, 9.0x) when smoke-budget speed matters more than
-# production-budget quality.
+# 128^3 grid for the first 75% of end_iter (75-82k rays/s), then a
+# DENSE occupancy-placed 64+32 r2 tail (occ guidance stays ON,
+# tail_occ) for the final 25% (26.4k rays/s — 1.31x the parity tail it
+# replaced in r5). Schedule-weighted effective throughput
+# 1/(0.75/75k + 0.25/26.4k) = 51.4k rays/s = 5.7x the estimated
+# reference-GPU step rate (same-session sweep; r4-session carve rates
+# put it at ~54k / 6.1x).
+# Why the dense-occ tail (r5 production-budget guardrail, 40k iters /
+# 256 px, parity-scored — BASELINE.md r5, bench_artifacts/r5/):
+#  - It BEATS the r4 parity-tail schedule on every scene measured and
+#    the reference sampler's BEST seed on three of four: plate 37.85
+#    (ref 35.43/33.23, parity-tail sch 34.42/33.78), torus 35.17 (ref
+#    32.28, sch 34.06), sphere 32.92 (ref 32.93/22.79, sch
+#    30.46/30.34), blobs see BASELINE r5. Mechanism: the occ grid
+#    places the tail's 64 initial samples inside the occupied band, so
+#    near-surface quadrature is effectively several times finer than
+#    64 uniform samples over [near, far] — refinement quality rises
+#    while the step gets 1.31x cheaper.
+#  - The r4 finding stands underneath: pure occ-carve tiers regress
+#    0.8-2.0 dB at production budget (dense late refinement is
+#    required); the r5 finding is that the dense refinement is BETTER
+#    occupancy-placed than uniform.
+# The 128^3 grid makes 24 initial samples safe on thin geometry during
+# the carve phase (at 64^3 the plate is ~1.3 cells thick, 2.6 at
+# 128^3); grid rebuild is 80 ms every occ_update_freq=250 steps
+# (<1%/step) and continues through the tail (tail_occ). Dispatches
+# never straddle the phase boundary and resume re-derives the phase
+# (train/neus_loop.py). One-override escapes:
+#   reference-exact whole run: --geo-override n_samples=64,
+#     n_importance=64,up_sample_steps=4,occ_res=0,tail_frac=0
+#     (geo/NeuS-ours2/confs/nerf.conf:83-86 semantics);
+#   r4 parity-tail schedule: tail_sampler=64+64r4,tail_occ=false;
+#   pure occ 24+8 carve (r3 default, smoke-budget speed): tail_frac=0.
 _GEO_FAST_SAMPLER = dict(n_samples=24, n_importance=8, up_sample_steps=2,
                          occ_res=128, tail_frac=0.25,
-                         tail_sampler="64+64r4")
+                         tail_sampler="64+32r2", tail_occ=True)
 
 
 def scene_family(scene):
@@ -184,8 +185,9 @@ def neus_configs_for_scene(scene, **overrides):
         import sys
         tail = ""
         if tcfg.tail_frac > 0.0 and tcfg.tail_sampler:
-            tail = (", %s parity tail for the final %d%% of steps"
-                    % (tcfg.tail_sampler,
+            kind = "dense occ" if tcfg.tail_occ else "parity"
+            tail = (", %s %s tail for the final %d%% of steps"
+                    % (tcfg.tail_sampler, kind,
                        round(100 * tcfg.tail_frac)))
         print(
             "[vqnerf-tpu] stage-1 fast sampler default active "
