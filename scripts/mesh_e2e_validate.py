@@ -23,6 +23,7 @@ os.environ["XLA_FLAGS"] = (
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_enable_async_dispatch", False)  # 1-core rendezvous guard (conftest.py)
 sys.path.insert(0, os.path.dirname(HERE))
 
 

@@ -46,6 +46,7 @@ def main():
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_cpu_enable_async_dispatch", False)  # 1-core rendezvous guard (conftest.py)
 
     import numpy as np
 

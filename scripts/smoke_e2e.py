@@ -208,6 +208,7 @@ def main():
         # JAX_PLATFORMS; only the config update works — CLAUDE.md)
         import jax
         jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_cpu_enable_async_dispatch", False)  # 1-core rendezvous guard (conftest.py)
 
     from vqnerf_release_tpu.data.neus_dataset import NerfSceneDataset
     from vqnerf_release_tpu.data.shape_dataset import ShapeDataset

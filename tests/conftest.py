@@ -21,6 +21,17 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# On low-core hosts the 8 virtual devices' collectives are a hard
+# liveness hazard: XLA CPU async dispatch runs an 8-participant
+# all-reduce rendezvous on pool threads with a FATAL 40 s termination
+# timeout (rendezvous.cc:127 "Exiting to ensure a consistent program
+# state"), and a concurrent jit compile on a 1-core box can starve the
+# 8th participant past it — the full-pipeline mesh test aborted
+# deterministically this way (r5; reproduced on the untouched r4 HEAD,
+# so environmental, not a code regression). Synchronous dispatch makes
+# execution complete before the main thread can start the next trace,
+# removing the overlap. Throughput-irrelevant for tests.
+jax.config.update("jax_cpu_enable_async_dispatch", False)
 
 
 def pytest_configure(config):
