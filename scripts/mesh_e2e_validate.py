@@ -19,7 +19,12 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
-    + " --xla_force_host_platform_device_count=8").strip()
+    + " --xla_force_host_platform_device_count=8"
+    # low-core hosts: raise the FATAL 40 s CPU-collective rendezvous
+    # termination timeout (see tests/conftest.py)
+    + " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+    + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+    ).strip()
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -159,6 +159,10 @@ def main():
     ap.add_argument("--stage1-only", action="store_true",
                     help="train+validate stage 1 and exit (sampler "
                          "guardrail runs)")
+    ap.add_argument("--through-extraction", action="store_true",
+                    help="stop after buffer extraction (extraction "
+                         "wall-clock measurements need a quiet host; "
+                         "this skips the decomp phases)")
     ap.add_argument("--occ-res", type=int, default=0,
                     help="stage-1 occupancy-guided sampling grid "
                          "resolution (0 = reference uniform init)")
@@ -205,7 +209,16 @@ def main():
     args = ap.parse_args()
     if os.environ.get("SMOKE_CPU"):
         # drive the pipeline on host CPU (the axon TPU ignores
-        # JAX_PLATFORMS; only the config update works — CLAUDE.md)
+        # JAX_PLATFORMS; only the config update works — CLAUDE.md).
+        # Raise the fatal CPU-collective rendezvous timeout for
+        # low-core hosts (see tests/conftest.py).
+        if "xla_cpu_collective_call_terminate_timeout" not in \
+                os.environ.get("XLA_FLAGS", ""):
+            os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") + (
+                " --xla_cpu_collective_call_terminate_timeout_seconds"
+                "=1200"
+                " --xla_cpu_collective_call_warn_stuck_timeout_seconds"
+                "=300")).strip()
         import jax
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_cpu_enable_async_dispatch", False)  # 1-core rendezvous guard (conftest.py)
@@ -298,7 +311,12 @@ def main():
                           light_h=args.light_h, vis_point_batch=128,
                           fast_vis=args.fast_vis)
         ex.extract_views(is_train=is_train)
-    print(f"== extraction done in {time.time()-t0:.0f}s")
+    extract_s = time.time() - t0
+    print(f"== extraction done in {extract_s:.0f}s")
+    if args.through_extraction:
+        print("== THROUGH-EXTRACTION OK")
+        return {"geo_psnr": geo_psnr, "geo_psnr_parity": parity_psnr,
+                "extract_s": extract_s}
 
     # ---- stage 2
     cfg2 = dc.DecompConfig(

@@ -14,9 +14,21 @@ os.environ.setdefault("VQNERF_NATIVE_SAMPLER", "0")
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # On low-core hosts the 8 virtual devices' collective participants
+    # run SEQUENTIALLY on the thread pool, so the spread between first
+    # and last arrival at an all-reduce rendezvous can exceed XLA's
+    # 40 s FATAL termination timeout (rendezvous.cc:127 aborts the
+    # process "to ensure a consistent program state") — the full-
+    # pipeline mesh test died this way on a 1-core VM, reproducibly,
+    # including at the untouched r4 HEAD. Raise the fatal timeout (and
+    # the warn) far above any legitimate shard compute time.
+    flags = (flags
+             + " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+             + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+             ).strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
