@@ -787,6 +787,34 @@ def cfg_ckpt_period(cfg):
     return 30 if cfg.epochs >= 30 else max(1, cfg.epochs // 2)
 
 
+# Peak-HBM bound for full-view validation forwards: the vali renders
+# pass the WHOLE view (background rows included) through the model in
+# one call, and at 512px x 512 lights the NxLx3 BRDF intermediates
+# exceed the v5e's HBM (measured r5: RESOURCE_EXHAUSTED in _nfr_vali).
+# The forwards are pointwise per ray, so chunking the ray axis is
+# numerically identical and bounds peak memory; training and the
+# masked-gather fast_render paths are unaffected.
+_VALI_RAY_CHUNK = 131072
+
+
+def _forward_chunked(forward, batch, chunk=None):
+    """Run a per-ray vali forward in ray chunks; concat the pred dict.
+
+    `forward(chunk_batch) -> pred_dict` where every pred entry is
+    [N, ...] aligned with the batch rows (nfr_unit/vq_nfr/ref_nfr vali
+    preds all are)."""
+    chunk = chunk or _VALI_RAY_CHUNK
+    n = next(iter(batch.values())).shape[0]
+    if n <= chunk:
+        return forward(batch)
+    preds = []
+    for i in range(0, n, chunk):
+        preds.append(forward({k: v[i : i + chunk]
+                              for k, v in batch.items()}))
+    return {k: np.concatenate([np.asarray(p[k]) for p in preds])
+            for k in preds[0]}
+
+
 def _nfr_vali(params, cfg, lxyz, lareas, vali_views, epoch_dir, outdir):
     # light dump (nfr_unit.py:454-462)
     os.makedirs(epoch_dir, exist_ok=True)
@@ -797,8 +825,9 @@ def _nfr_vali(params, cfg, lxyz, lareas, vali_views, epoch_dir, outdir):
         os.path.dirname(epoch_dir), "pred_light.png"), h=256)
     for b_i, view in enumerate(vali_views):
         batch = _device_batch(view.as_batch())
-        pred, aux = nfr_unit_forward(
-            params, batch, cfg, lxyz, lareas, mode="vali")
+        pred = _forward_chunked(
+            lambda b: nfr_unit_forward(
+                params, b, cfg, lxyz, lareas, mode="vali")[0], batch)
         vis = {"pred_" + k: np.asarray(v) for k, v in pred.items()
                if k != "z"}
         vis["gt_rgb"] = view.rgb
@@ -1026,10 +1055,14 @@ def _vq_vali(params, cfg, lxyz, lareas, vali_views, vq_eval,
         for b_i, view in enumerate(vali_views):
             batch = _device_batch(view.as_batch())
             key, k2 = jax.random.split(key)
-            pred, aux, _ = vq_nfr_forward(
-                params, init_vq_ema_state(cfg.z_dim, cfg.num_embed),
-                batch, cfg, lxyz, lareas, mode="vali",
-                thres=jnp.asarray(thres), rng=k2)
+            # same rng for every chunk: vali-mode dropout masks the
+            # CODEBOOK from (thres, rng) only, so chunks stay
+            # consistent with the unchunked call
+            pred = _forward_chunked(
+                lambda b: vq_nfr_forward(
+                    params, init_vq_ema_state(cfg.z_dim, cfg.num_embed),
+                    b, cfg, lxyz, lareas, mode="vali",
+                    thres=jnp.asarray(thres), rng=k2)[0], batch)
             vis = {"pred_" + k: np.asarray(v) for k, v in pred.items()}
             vis["gt_rgb"] = view.rgb
             vis["gt_alpha"] = view.alpha
@@ -1102,8 +1135,10 @@ def train_ref_nfr(cfg: dc.DecompConfig, vq_params, light, train_views,
             epoch_dir = _epoch_dir(outdir, e1)
             for b_i, view in enumerate(vali_views):
                 batch = _device_batch(view.as_batch())
-                pred, aux = ref_nfr_forward(
-                    params, batch, cfg, lxyz, lareas, mode="vali")
+                pred = _forward_chunked(
+                    lambda b: ref_nfr_forward(
+                        params, b, cfg, lxyz, lareas, mode="vali")[0],
+                    batch)
                 vis = {"pred_" + k: np.asarray(v) for k, v in pred.items()}
                 vis["gt_rgb"] = view.rgb
                 vis["gt_alpha"] = view.alpha
