@@ -25,6 +25,13 @@ from ..models import decomp_common as dc
 from ..models.ref_nfr import ref_fast_render
 from ..models.vq_nfr import vq_fast_embed, vq_fast_render
 from ..ops.colorspace import linear2srgb
+from ..train.loop import _forward_chunked
+
+# Ray-chunk size for the full-view fast renders: the reference's
+# brdf_chunk operating point (models/vq_nfr.py:62-63, 50,000 rays) —
+# a full 512px view with 16 probes + 4 OLATs OOMed the v5e in one call
+# (r5 showcase); per-ray pointwise renders chunk exactly.
+_RAY_CHUNK = 49152
 from ..ops.light import olat_envmaps
 from ..utils.vis import vis_view
 
@@ -134,13 +141,17 @@ def run_test(ref_params, vq_params, cfg: dc.DecompConfig, dataset, outroot,
     raw_dir = join(outroot, "raw_test")
     for i, v, b in batches():
         outdir = join(raw_dir, "batch%09d" % i)
-        pred_ref = ref_fast_render(ref_params, b, cfg, lxyz, lareas)
+        pred_ref = _forward_chunked(
+            lambda bb: ref_fast_render(ref_params, bb, cfg, lxyz,
+                                       lareas), b, chunk=_RAY_CHUNK)
         vis_view({"pred_" + k: x for k, x in pred_ref.items()}
                  | {"gt_rgb": b["rgb"], "gt_alpha": b["alpha"]},
                  (v.h, v.w), outdir, v.id, white_bg=cfg.white_bg,
                  mode="test")
         b_vq = {k: x for k, x in b.items() if k != "ref"}
-        pred_vq = vq_fast_render(vq_params, b_vq, cfg, lxyz, lareas)
+        pred_vq = _forward_chunked(
+            lambda bb: vq_fast_render(vq_params, bb, cfg, lxyz, lareas),
+            b_vq, chunk=_RAY_CHUNK)
         vis_view({"pred_" + k: x for k, x in pred_vq.items()
                   if k != "rgb"},
                  (v.h, v.w), outdir, v.id, white_bg=cfg.white_bg,
@@ -156,7 +167,9 @@ def run_test(ref_params, vq_params, cfg: dc.DecompConfig, dataset, outroot,
     pd_dir = join(outroot, "pd_test")
     for i, v, b in batches():
         outdir = join(pd_dir, "batch%09d" % i)
-        pred_ref = ref_fast_render(ref_params, b, cfg, lxyz, lareas)
+        pred_ref = _forward_chunked(
+            lambda bb: ref_fast_render(ref_params, bb, cfg, lxyz,
+                                       lareas), b, chunk=_RAY_CHUNK)
         vis_view({"pred_rgb": pred_ref["rgb"], "gt_rgb": b["rgb"],
                   "gt_alpha": b["alpha"], "pred_alpha": pred_ref["alpha"]},
                  (v.h, v.w), outdir, v.id, white_bg=cfg.white_bg,
@@ -164,9 +177,11 @@ def run_test(ref_params, vq_params, cfg: dc.DecompConfig, dataset, outroot,
         b_vq = {k: x for k, x in b.items() if k != "ref"}
         # vis_scale=True (test.py:232): render unscaled, emit
         # sRGB-then-scaled decomposition maps
-        pred_vq = vq_fast_render(
-            vq_params, b_vq, cfg, lxyz, lareas, opt_scale=opt_scale_j,
-            vis_scale=True)
+        pred_vq = _forward_chunked(
+            lambda bb: vq_fast_render(
+                vq_params, bb, cfg, lxyz, lareas,
+                opt_scale=opt_scale_j, vis_scale=True),
+            b_vq, chunk=_RAY_CHUNK)
         vis_view({"pred_" + k: x for k, x in pred_vq.items()
                   if k != "rgb"},
                  (v.h, v.w), outdir, v.id, white_bg=cfg.white_bg,
@@ -177,9 +192,12 @@ def run_test(ref_params, vq_params, cfg: dc.DecompConfig, dataset, outroot,
     for i, v, b in batches():
         outdir = join(relit_dir, "batch%09d" % i)
         b_vq = {k: x for k, x in b.items() if k != "ref"}
-        pred = vq_fast_render(
-            vq_params, b_vq, cfg, lxyz, lareas, novel_probes=probes_j,
-            novel_olat=olats_j, opt_scale=opt_scale_j)
+        pred = _forward_chunked(
+            lambda bb: vq_fast_render(
+                vq_params, bb, cfg, lxyz, lareas,
+                novel_probes=probes_j, novel_olat=olats_j,
+                opt_scale=opt_scale_j),
+            b_vq, chunk=_RAY_CHUNK)
         vis_view({"pred_rgb_probes": pred["rgb_probes"],
                   "pred_rgb_olat": pred["rgb_olat"],
                   "gt_alpha": b["alpha"], "pred_alpha": pred["alpha"]},
@@ -198,9 +216,11 @@ def run_test(ref_params, vq_params, cfg: dc.DecompConfig, dataset, outroot,
     for i, v, b in batches():
         outdir = join(vq_dir, "batch%09d" % i)
         b_vq = {k: x for k, x in b.items() if k != "ref"}
-        out = vq_fast_embed(vq_params, b_vq, cfg, thres=thres,
-                            rng=jax.random.PRNGKey(0) if rng is None
-                            else rng)
+        out = _forward_chunked(
+            lambda bb: vq_fast_embed(
+                vq_params, bb, cfg, thres=thres,
+                rng=jax.random.PRNGKey(0) if rng is None else rng),
+            b_vq, chunk=_RAY_CHUNK)
         vis_view({"pred_embed": out["embed"], "gt_alpha": b["alpha"],
                   "pred_alpha": out["alpha"]},
                  (v.h, v.w), outdir, v.id, white_bg=cfg.white_bg,
