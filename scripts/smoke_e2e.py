@@ -163,6 +163,12 @@ def main():
                     help="stop after buffer extraction (extraction "
                          "wall-clock measurements need a quiet host; "
                          "this skips the decomp phases)")
+    ap.add_argument("--test-only", action="store_true",
+                    help="skip stage 1 and extraction (surf buffers "
+                         "must already exist under --root); the decomp "
+                         "trainers resume from their checkpoints and "
+                         "the 4-pass test driver runs — completes a "
+                         "pipeline whose earlier phases finished")
     ap.add_argument("--occ-res", type=int, default=0,
                     help="stage-1 occupancy-guided sampling grid "
                          "resolution (0 = reference uniform init)")
@@ -241,6 +247,14 @@ def main():
                shape=args.shape)
 
     # ---- stage 1
+    if args.test_only:
+        surf_root = join(root, "surf")
+        if not os.path.isdir(surf_root):
+            raise SystemExit("--test-only: no surf buffers under "
+                             + surf_root)
+        geo_psnr = float("nan")
+        return _stage2_and_test(args, root, scene_dir, surf_root,
+                                geo_psnr)
     t0 = time.time()
     ds = NerfSceneDataset(scene_dir, is_train=True, near=1.2, far=3.5)
     from vqnerf_release_tpu.config import parse_sampler_spec
@@ -318,6 +332,15 @@ def main():
         return {"geo_psnr": geo_psnr, "geo_psnr_parity": parity_psnr,
                 "extract_s": extract_s}
 
+    return _stage2_and_test(args, root, scene_dir, surf_root, geo_psnr)
+
+
+def _stage2_and_test(args, root, scene_dir, surf_root, geo_psnr):
+    import time
+    from vqnerf_release_tpu.data.shape_dataset import ShapeDataset
+    from vqnerf_release_tpu.models import decomp_common as dc
+    from vqnerf_release_tpu.train import loop
+
     # ---- stage 2
     cfg2 = dc.DecompConfig(
         light_h=args.light_h, imh=args.imh, num_embed=6, num_drop=4,
@@ -340,15 +363,21 @@ def main():
     nfr_out = join(root, "out", "sphere_nfr_unit", "lr5e-4")
     nfr_params, h1 = loop.train_nfr_unit(
         cfg2, train_views, vali_views, nfr_out)
-    print(f"== nfr_unit {time.time()-t0:.0f}s: "
-          f"loss {h1[0]:.5f} -> {h1[-1]:.5f}")
+    if h1:
+        print(f"== nfr_unit {time.time()-t0:.0f}s: "
+              f"loss {h1[0]:.5f} -> {h1[-1]:.5f}")
+    else:
+        print("== nfr_unit: resumed at target epoch (no new steps)")
 
     t0 = time.time()
     vq_out = join(root, "out", "sphere_vq_nfr", "lr5e-4")
     vq_params, ema, h2 = loop.train_vq_nfr(
         cfg2, nfr_params, train_views, vali_views, vq_out)
-    print(f"== vq_nfr {time.time()-t0:.0f}s: "
-          f"loss {h2[0]:.5f} -> {h2[-1]:.5f}")
+    if h2:
+        print(f"== vq_nfr {time.time()-t0:.0f}s: "
+              f"loss {h2[0]:.5f} -> {h2[-1]:.5f}")
+    else:
+        print("== vq_nfr: resumed at target epoch (no new steps)")
 
     t0 = time.time()
     light = np.load(join(vq_out, "vis_vali", "np_light.npy"))
@@ -357,8 +386,11 @@ def main():
     vv_ref = views("vali", with_ref=True)[:2]
     ref_params, h3 = loop.train_ref_nfr(
         cfg2, vq_params, light, tv_ref, vv_ref, ref_out)
-    print(f"== ref_nfr {time.time()-t0:.0f}s: "
-          f"loss {h3[0]:.5f} -> {h3[-1]:.5f}")
+    if h3:
+        print(f"== ref_nfr {time.time()-t0:.0f}s: "
+              f"loss {h3[0]:.5f} -> {h3[-1]:.5f}")
+    else:
+        print("== ref_nfr: resumed at target epoch (no new steps)")
 
     # stage-2 recon PSNR on a val view
     import glob
@@ -388,7 +420,7 @@ def main():
     print(f"== 4-phase inference done; selected n_vq={info['n_vq']}")
     print("== SMOKE E2E OK")
     return {"geo_psnr": geo_psnr, "recon_psnr": meta.get("psnr"),
-            "losses": (h1[-1], h2[-1], h3[-1])}
+            "losses": tuple(h[-1] for h in (h1, h2, h3) if h)}
 
 
 if __name__ == "__main__":
